@@ -1,0 +1,159 @@
+"""Property canonicalization — the single source of truth for key formatting.
+
+Reference: ``format_properties`` (iyp/__init__.py:18-60) canonicalizes every
+property before it hits the graph: ASN → int, IP/prefix → ``.compressed``
+form, country code → upper. Because our node ids are ``xxhash64(label, key)``
+(no Neo4j elementId), canonicalization MUST happen before id computation —
+identically in every crawler — so it lives here and nowhere else.
+
+All heavy lifting is vectorized: ``ipaddress`` runs inside Arrow pandas UDFs
+(series → series, no per-row Python in the plan: shows as ArrowEvalPython,
+never BatchEvalPython); cheap canon (trim/upper/cast) is native Catalyst.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@F.pandas_udf(T.StringType())
+def compress_prefix(s: pd.Series) -> pd.Series:
+    """Normalize a CIDR prefix to compressed form; None if malformed.
+
+    Ref: ip_network(x).compressed with invalid-row skip
+    (iyp/crawlers/bgpkit/pfx2asn.py:33-37, iyp/__init__.py:21-22).
+    """
+
+    def one(x):
+        if x is None:
+            return None
+        try:
+            return ipaddress.ip_network(x.strip()).compressed
+        except ValueError:
+            return None
+
+    return s.map(one)
+
+
+@F.pandas_udf(T.StringType())
+def compress_ip(s: pd.Series) -> pd.Series:
+    """Normalize an IP address to compressed form; None if malformed.
+
+    Ref: ip_address(x).compressed (iyp/crawlers/openintel/__init__.py:295-303).
+    """
+
+    def one(x):
+        if x is None:
+            return None
+        try:
+            return ipaddress.ip_address(x.strip()).compressed
+        except ValueError:
+            return None
+
+    return s.map(one)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def decompose_range_to_cidrs(start: pd.Series, count: pd.Series) -> pd.Series:
+    """IPv4 (start, address-count) range → list of covering CIDR prefixes.
+
+    Ref: lowest-set-bit + log2 decomposition in
+    iyp/crawlers/nro/delegated_stats.py:27-53 and
+    summarize_address_range in iyp/crawlers/ipinfo/ip_country.py:43-48.
+    """
+
+    def one(s, n):
+        if s is None or n is None:
+            return None
+        try:
+            first = ipaddress.ip_address(s)
+            last = first + int(n) - 1
+            return [
+                net.compressed
+                for net in ipaddress.summarize_address_range(first, last)
+            ]
+        except ValueError:
+            return None
+
+    return pd.Series([one(s, n) for s, n in zip(start, count)])
+
+
+@F.pandas_udf(T.StructType([
+    T.StructField("start", T.DecimalType(38, 0), True),
+    T.StructField("end", T.DecimalType(38, 0), True),
+    T.StructField("prefixlen", T.IntegerType(), True),
+    T.StructField("af", T.IntegerType(), True),
+]))
+def prefix_bounds(s: pd.Series) -> pd.DataFrame:
+    """CIDR prefix → integer [start, end] bounds (for interval/LPM joins).
+
+    Replaces the reference's radix tree (iyp/post/ip2prefix.py:37-72) with
+    data the engine can range-join on. Decimal(38,0) holds 128-bit IPv6 ints.
+    """
+    starts, ends, lens, afs = [], [], [], []
+    for x in s:
+        try:
+            net = ipaddress.ip_network(x)
+            starts.append(int(net.network_address))
+            ends.append(int(net.broadcast_address))
+            lens.append(net.prefixlen)
+            afs.append(net.version)
+        except (ValueError, TypeError):
+            starts.append(None), ends.append(None), lens.append(None), afs.append(None)
+    return pd.DataFrame({"start": starts, "end": ends, "prefixlen": lens, "af": afs})
+
+
+@F.pandas_udf(T.DecimalType(38, 0))
+def ip_to_int(s: pd.Series) -> pd.Series:
+    """IP string → integer (for LPM join probes)."""
+
+    def one(x):
+        try:
+            return int(ipaddress.ip_address(x))
+        except (ValueError, TypeError):
+            return None
+
+    return s.map(one)
+
+
+def canon_cc(col: Column) -> Column:
+    """Country code → upper (ref iyp/__init__.py:24)."""
+    return F.upper(F.trim(col))
+
+
+def canon_asn(col: Column) -> Column:
+    """ASN → long, tolerating an 'AS' prefix (ref iyp/__init__.py:18-25,
+    removeprefix('AS') in ripe/roa.py:70, bgptools/tags.py:83)."""
+    return F.regexp_replace(F.trim(col.cast("string")), r"^[aA][sS]", "").cast("long")
+
+
+def strip_root_dot(col: Column) -> Column:
+    """DNS name minus trailing root dot, lower-cased
+    (ref openintel/__init__.py:279-282,461-464)."""
+    return F.lower(F.regexp_replace(F.trim(col), r"\.$", ""))
+
+
+def af_of_key(col: Column) -> Column:
+    """Address family from textual IP/prefix: ':' → 6 else '.' → 4.
+
+    Ref: post/address_family.py:14-27 (Cypher CONTAINS ':').
+    """
+    return (
+        F.when(col.contains(":"), F.lit(6))
+        .when(col.contains("."), F.lit(4))
+        .otherwise(F.lit(None).cast("int"))
+    )
+
+
+def node_id(label: Column | str, key: Column) -> Column:
+    """Deterministic node id: xxhash64(primary label, canonical key).
+
+    Replaces Neo4j elementId (SURVEY.md §1.1) — cluster-safe, no id service.
+    """
+    lab = F.lit(label) if isinstance(label, str) else label
+    return F.xxhash64(lab, key.cast("string"))

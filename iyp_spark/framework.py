@@ -1,0 +1,198 @@
+"""SparkCrawler — the universal crawler dataflow as a Spark job.
+
+Reference lifecycle (every crawler, e.g. iyp/crawlers/example/crawler.py:29-76
+and create_db.py:158-186): fetch → parse rows → accumulate node sets + link
+dicts → batch_get_nodes* (entity linking over Bolt) → rewrite endpoints to
+ids → batch_add_links → unit_test. Here:
+
+    documents scan (partition-pruned to this crawler)
+      → parse() [native exprs / Arrow pandas UDF]         (subclass hook)
+      → mentions DataFrame
+      → nodes() / triples() [DataFrame programs]          (subclass hooks)
+      → GraphStore.upsert_nodes + replace_triples         (idempotent)
+      → unit_test: ≥1 triple per expected predicate       (iyp/__init__.py:760-776)
+
+Entity linking is a pure column computation (node_id = xxhash64(label,key)),
+so the reference's write-then-read id round-trip disappears entirely; only
+"link-to-existing-only" crawlers (nro.delegated_stats, worldbank, inetintel
+orgs) read the dictionary back — as a broadcast semi-join (S8).
+"""
+
+from __future__ import annotations
+
+import datetime
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .canon import node_id
+from .store import GraphStore, StageTimer
+
+FIXED_FETCH_TIME = datetime.datetime(2026, 1, 1, 0, 0, 0)  # FIXTURES.md seed date
+
+
+class RelationCountError(Exception):
+    """A unit test found zero triples for an expected predicate
+    (ref: create_db.py:166-169)."""
+
+
+class SparkCrawler:
+    """Subclasses set ORG/URL/NAME/EXPECTED_PREDS and implement transform()."""
+
+    ORG: str = ""
+    URL: str = ""
+    NAME: str = ""
+    EXPECTED_PREDS: list[str] = []
+
+    def __init__(self, store: GraphStore):
+        self.store = store
+        self.spark = store.spark
+
+    # ---------- reference stamping (iyp/__init__.py:701-708) ----------
+    def reference_col(self) -> F.Column:
+        return F.struct(
+            F.lit(self.NAME).alias("reference_name"),
+            F.lit(self.ORG).alias("reference_org"),
+            F.lit(self.URL).alias("reference_url_data"),
+            F.lit(None).cast("string").alias("reference_url_info"),
+            F.lit(FIXED_FETCH_TIME).alias("reference_time_fetch"),
+            F.lit(FIXED_FETCH_TIME).alias("reference_time_modification"),
+        )
+
+    # ---------- helpers for subclasses ----------
+    def text_span(self, idx: int) -> F.Column:
+        """The idx-th *text* span of a document (media spans interleave:
+        FIXTURES.md §1), preserving order by offset."""
+        return F.element_at(
+            F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")), idx + 1
+        )["text"]
+
+    def make_nodes(
+        self, df: DataFrame, label: str, key_col: str,
+        extra_labels: list[str] | None = None, props_col: str | None = None,
+    ) -> DataFrame:
+        """Dictionary rows for one label from a mention column (K1)."""
+        labels = [label] + (extra_labels or [])
+        base = df.select(F.col(key_col).cast("string").alias("key"))
+        if props_col is not None:
+            base = df.select(
+                F.col(key_col).cast("string").alias("key"),
+                F.col(props_col).alias("props"),
+            )
+        else:
+            base = base.withColumn("props", F.lit(None).cast("map<string,string>"))
+        return (
+            base.filter(F.col("key").isNotNull())
+            .dropDuplicates(["key"])
+            .select(
+                F.lit(label).alias("label"),
+                "key",
+                node_id(label, F.col("key")).alias("node_id"),
+                F.array(*[F.lit(x) for x in labels]).alias("labels"),
+                "props",
+            )
+        )
+
+    def make_triples(
+        self, df: DataFrame, pred: str,
+        subj_label: str, subj_key: str, obj_label: str, obj_key: str,
+        props_col: F.Column | None = None,
+    ) -> DataFrame:
+        """Triple rows from a mention DataFrame (K5), endpoints id-linked
+        via deterministic hashes (J1 without the shuffle)."""
+        sk = F.col(subj_key).cast("string")
+        ok = F.col(obj_key).cast("string")
+        return (
+            df.filter(sk.isNotNull() & ok.isNotNull())
+            .select(
+                node_id(subj_label, sk).alias("subj_id"),
+                F.lit(pred).alias("pred"),
+                node_id(obj_label, ok).alias("obj_id"),
+                F.lit(subj_label).alias("subj_label"),
+                sk.alias("subj_key"),
+                F.lit(obj_label).alias("obj_label"),
+                ok.alias("obj_key"),
+                (
+                    props_col
+                    if props_col is not None
+                    else F.lit(None).cast("map<string,string>")
+                ).alias("props"),
+                self.reference_col().alias("reference"),
+            )
+        )
+
+    def existing_keys(self, label: str) -> DataFrame:
+        """S8: keys already in the dictionary, for link-to-existing-only
+        crawlers. Small dimension → broadcast on the join side."""
+        return self.store.read_nodes(label).select(F.col("key"))
+
+    # ---------- subclass contract ----------
+    def transform(self, docs: DataFrame) -> tuple[list[DataFrame], list[DataFrame]]:
+        """docs → (node DataFrames, triple DataFrames)."""
+        raise NotImplementedError
+
+    # ---------- driver ----------
+    def run(self, run_id: str | None = None) -> dict:
+        run_id = run_id or uuid.uuid4().hex[:12]
+        docs = self.store.read_documents(crawler=self.NAME)
+        with StageTimer(self.store, self.NAME, "parse", run_id):
+            node_dfs, triple_dfs = self.transform(docs)
+        with StageTimer(self.store, self.NAME, "link_nodes", run_id) as t:
+            n_nodes = 0
+            for nd in node_dfs:
+                n_nodes += self.store.upsert_nodes(nd)
+            t.rows = n_nodes
+        with StageTimer(self.store, self.NAME, "materialize", run_id) as t:
+            triples = triple_dfs[0]
+            for extra in triple_dfs[1:]:
+                triples = triples.unionByName(extra)
+            n_triples = self.store.replace_triples(self.NAME, triples)
+            t.rows = n_triples
+        return {"crawler": self.NAME, "nodes": n_nodes, "triples": n_triples}
+
+    def unit_test(self) -> None:
+        """≥1 triple of each expected predicate under this reference_name
+        (ref iyp/__init__.py:760-776; declared lists per crawler, e.g.
+        caida/asrank.py:118-119)."""
+        got = {
+            r["pred"]
+            for r in self.store.read_triples(self.NAME)
+            .select("pred")
+            .distinct()
+            .collect()
+        }
+        missing = [p for p in self.EXPECTED_PREDS if p not in got]
+        if missing:
+            raise RelationCountError(f"{self.NAME}: no triples for {missing}")
+
+
+def run_pipeline(
+    store: GraphStore,
+    crawlers: list[type[SparkCrawler]],
+    resume: bool = False,
+    fail_after: int | None = None,
+) -> dict:
+    """Entry point A (create_db.py:158-186): ordered crawler loop with
+    per-crawler status capture; ``resume=True`` skips crawlers whose
+    materialize stage already completed (S7 checkpoint semantics).
+    ``fail_after`` injects a crash for the kill/resume test."""
+    run_id = uuid.uuid4().hex[:12]
+    done = store.completed_crawlers() if resume else set()
+    status: dict[str, str] = {}
+    ran = 0
+    for cls in crawlers:
+        crawler = cls(store)
+        if crawler.NAME in done:
+            status[crawler.NAME] = "skipped (checkpoint)"
+            continue
+        if fail_after is not None and ran >= fail_after:
+            raise RuntimeError("injected failure for resume test")
+        try:
+            crawler.run(run_id=run_id)
+            crawler.unit_test()
+            status[crawler.NAME] = "ok"
+        except RelationCountError as e:  # recorded, not fatal (create_db.py:171-179)
+            status[crawler.NAME] = f"unit_test failed: {e}"
+        ran += 1
+    return status

@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Local mode stands in for a multi-executor cluster; every knob below is the
+one you would set on a 1000-executor job reading 100 TB:
+
+- AQE on (runtime re-plan, partition coalescing, skew-join splitting): the
+  AS dimension is Zipf-hot (a few ASNs dominate ORIGINATE/PEERS_WITH edges),
+  so skew handling is a correctness-of-scale requirement, not a nicety.
+- Arrow enabled: all Python crossings are vectorized (pandas UDF /
+  mapInPandas); per-row Python is banned (BASELINE.md "No per-row Python").
+- shuffle partitions sized to cores locally; on a cluster this would be
+  ~2-3x total cores and AQE coalesces the rest.
+- dynamic partition overwrite: per-crawler idempotent replace of the
+  triples partition (stand-in for Iceberg MERGE/overwritePartitions).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "iyp_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cores), 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.driver.memory", os.environ.get("IYP_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

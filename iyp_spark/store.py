@@ -1,0 +1,274 @@
+"""GraphStore — the lake layout + upsert/replace/lineage primitives.
+
+Stands in for an Iceberg catalog. On a real cluster every method below maps
+1:1 onto an Iceberg operation (noted per method); locally we use partitioned
+parquet + Spark's dynamic partition overwrite, which gives the same
+idempotent per-partition replace semantics the north rule requires.
+
+Layout under ``root``:
+    documents/ crawler=<name>/*.parquet     input corpus (written by fixtures)
+    nodes/     label=<label>/*.parquet      node dictionaries
+    triples/   reference_name=<c>/*.parquet fact table
+    lineage/   *.parquet                    per-stage metrics + checkpoints
+
+Sinks implemented here (SURVEY.md §2.2):
+    K1/K2 upsert_nodes    — MERGE-by-key into the node dictionary
+    K4    (via upsert_nodes labels union)
+    K5/K6 replace_triples — per-crawler partition replace (append = union)
+    K7    enrich_nodes    — WHEN MATCHED UPDATE on node props
+    K8    export_golden   — ordered triple export
+Sources (§2.1):
+    S7    resume          — completed-partition checkpoint via lineage
+    S8    read_nodes      — seed scan to restrict work
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schema import LINEAGE_SCHEMA, NODES_SCHEMA, TRIPLES_SCHEMA
+
+
+def _exists(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    for _, _, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+@dataclass
+class GraphStore:
+    spark: SparkSession
+    root: str
+
+    # ---------- paths ----------
+    @property
+    def documents_path(self) -> str:
+        return os.path.join(self.root, "documents")
+
+    @property
+    def nodes_path(self) -> str:
+        return os.path.join(self.root, "nodes")
+
+    @property
+    def triples_path(self) -> str:
+        return os.path.join(self.root, "triples")
+
+    @property
+    def lineage_path(self) -> str:
+        return os.path.join(self.root, "lineage")
+
+    # ---------- documents (input) ----------
+    def write_documents(self, df: DataFrame) -> None:
+        (
+            df.repartition("crawler")
+            .write.mode("overwrite")
+            .partitionBy("crawler")
+            .parquet(self.documents_path)
+        )
+
+    def read_documents(self, crawler: str | None = None) -> DataFrame:
+        df = self.spark.read.parquet(self.documents_path)
+        if crawler is not None:
+            # partition pruning: only this crawler's directory is scanned
+            df = df.filter(F.col("crawler") == crawler)
+        return df
+
+    # ---------- nodes ----------
+    def read_nodes(self, label: str | None = None) -> DataFrame:
+        """S8 seed scan. Empty-store safe."""
+        if not _exists(self.nodes_path):
+            return self.spark.createDataFrame([], NODES_SCHEMA)
+        df = self.spark.read.parquet(self.nodes_path)
+        df = df.select([f.name for f in NODES_SCHEMA.fields])
+        if label is not None:
+            df = df.filter(F.col("label") == label)
+        return df
+
+    def upsert_nodes(self, df: DataFrame) -> int:
+        """K1/K2/K4: MERGE new keys into the dictionary, union labels, and
+        merge props of existing ones (last-writer-wins per key, like the
+        reference's ``SET a += props``, iyp/__init__.py:326-446).
+
+        Iceberg equivalent: ``MERGE INTO nodes t USING s ON t.label=s.label
+        AND t.key=s.key WHEN MATCHED UPDATE SET labels=array_union(..),
+        props=map_concat(..) WHEN NOT MATCHED INSERT *``.
+
+        Locally: union + groupBy(label,key) + dynamic overwrite of only the
+        touched label partitions.
+        """
+        df = df.select([f.name for f in NODES_SCHEMA.fields])
+        touched = [r["label"] for r in df.select("label").distinct().collect()]
+        existing = self.read_nodes().filter(F.col("label").isin(touched))
+        union = (
+            existing.withColumn("_gen", F.lit(0))
+            .unionByName(df.withColumn("_gen", F.lit(1)))
+            .withColumn(
+                "labels", F.coalesce(F.col("labels"), F.array(F.col("label")))
+            )
+        )
+        base = union.groupBy("label", "key").agg(
+            F.first("node_id").alias("node_id"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("labels")))
+            ).alias("labels"),
+        )
+        # per-prop-key merge, later generation wins (== reference SET a += props)
+        props = (
+            union.select(
+                "label", "key", "_gen",
+                F.explode_outer("props").alias("pk", "pv"),
+            )
+            .filter(F.col("pk").isNotNull())
+            .groupBy("label", "key", "pk")
+            .agg(F.max_by("pv", F.col("_gen")).alias("pv"))
+            .groupBy("label", "key")
+            .agg(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("pk", "pv")))
+                ).alias("props")
+            )
+        )
+        merged = base.join(props, ["label", "key"], "left")
+        # localCheckpoint truncates lineage: we are about to overwrite the
+        # very partitions this plan reads (Iceberg MERGE would not need this)
+        out = merged.select(
+            [f.name for f in NODES_SCHEMA.fields]
+        ).localCheckpoint(eager=True)
+        n = out.count()
+        (
+            out.repartition("label")
+            .write.mode("overwrite")
+            .partitionBy("label")
+            .parquet(self.nodes_path)
+        )
+        return n
+
+    def enrich_nodes(self, df: DataFrame) -> int:
+        """K7: add/overwrite props on existing nodes.
+
+        ``df``: (label, key, props map). Nodes not present are ignored
+        (reference MATCHes by elementId; misses are impossible there).
+        """
+        return self.upsert_nodes(
+            df.withColumn("node_id", F.xxhash64("label", "key"))
+            .withColumn("labels", F.array("label"))
+            .select("label", "key", "node_id", "labels", "props")
+        )
+
+    # ---------- triples ----------
+    def read_triples(self, reference_name: str | None = None) -> DataFrame:
+        if not _exists(self.triples_path):
+            return self.spark.createDataFrame([], TRIPLES_SCHEMA)
+        df = self.spark.read.parquet(self.triples_path)
+        df = df.select([f.name for f in TRIPLES_SCHEMA.fields])
+        if reference_name is not None:
+            df = df.filter(F.col("reference_name") == reference_name)
+        return df
+
+    def replace_triples(self, reference_name: str, df: DataFrame) -> int:
+        """K5 with rerun semantics: idempotent replace of one crawler's
+        partition (ref: delete-by-reference_name then re-append,
+        iyp/__init__.py:660-687, post/ip2prefix.py:113-122).
+
+        Iceberg equivalent: ``overwritePartitions()`` /
+        ``DELETE WHERE reference_name = X`` + append.
+        """
+        out = (
+            df.withColumn("reference_name", F.col("reference.reference_name"))
+            .select([f.name for f in TRIPLES_SCHEMA.fields])
+            # post-processors derive triples FROM the triples table; truncate
+            # lineage before overwriting the partition being read
+            .localCheckpoint(eager=True)
+        )
+        n = out.count()
+        # dynamic partitionOverwriteMode → only reference_name=<X> dirs replaced
+        (
+            out.repartition(F.col("pred"), F.pmod(F.col("subj_id"), F.lit(16)))
+            .write.mode("overwrite")
+            .partitionBy("reference_name")
+            .parquet(self.triples_path)
+        )
+        return n
+
+    def export_golden(self, path: str) -> None:
+        """K8: the golden output — ordered triple export
+        (replaces neo4j-admin dump, create_db.py:218-247)."""
+        (
+            self.read_triples()
+            .select(
+                "subj_label", "subj_key", "pred", "obj_label", "obj_key",
+                "reference_name", "props",
+            )
+            .orderBy("reference_name", "pred", "subj_key", "obj_key")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    # ---------- lineage / checkpoint (S7 + north rule) ----------
+    def log_lineage(
+        self, crawler: str, stage: str, rows: int, seconds: float,
+        status: str = "complete", run_id: str | None = None,
+    ) -> None:
+        import datetime
+
+        row = [
+            (
+                crawler, stage, int(rows), float(seconds), status,
+                run_id or uuid.uuid4().hex[:12],
+                datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None),
+            )
+        ]
+        self.spark.createDataFrame(row, LINEAGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.lineage_path)
+
+    def read_lineage(self) -> DataFrame:
+        if not _exists(self.lineage_path):
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        return self.spark.read.parquet(self.lineage_path)
+
+    def completed_crawlers(self) -> set[str]:
+        """Resume point: crawlers whose 'materialize' stage completed.
+
+        A restarted run anti-joins its crawler list against this set, so
+        completed partitions are never recomputed (north rule resumability).
+        """
+        lin = self.read_lineage()
+        return {
+            r["crawler"]
+            for r in lin.filter(
+                (F.col("stage") == "materialize") & (F.col("status") == "complete")
+            )
+            .select("crawler")
+            .distinct()
+            .collect()
+        }
+
+
+class StageTimer:
+    """Context manager: time a stage and log lineage on exit."""
+
+    def __init__(self, store: GraphStore, crawler: str, stage: str, run_id: str):
+        self.store, self.crawler, self.stage, self.run_id = store, crawler, stage, run_id
+        self.rows = 0
+
+    def __enter__(self):
+        self.t0 = time.time()
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        status = "complete" if exc_type is None else "failed"
+        self.store.log_lineage(
+            self.crawler, self.stage, self.rows, time.time() - self.t0,
+            status=status, run_id=self.run_id,
+        )
+        return False

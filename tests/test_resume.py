@@ -1,0 +1,52 @@
+"""Kill/resume: a restarted pipeline run loses no completed partitions and
+recomputes nothing already materialized (north rule resumability; reference
+analog: CacheHandler, iyp/__init__.py:810-831)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from iyp_spark.crawlers import CRAWLER_ORDER
+from iyp_spark.fixtures import write_corpus
+from iyp_spark.framework import run_pipeline
+from iyp_spark.store import GraphStore
+
+
+def test_pipeline_resume_after_crash(spark):
+    root = tempfile.mkdtemp(prefix="iyp_resume_")
+    try:
+        store = GraphStore(spark, root)
+        write_corpus(store, scale=0.1)
+
+        # run that dies after 2 crawlers
+        with pytest.raises(RuntimeError, match="injected failure"):
+            run_pipeline(store, CRAWLER_ORDER, fail_after=2)
+
+        done_before = store.completed_crawlers()
+        assert len(done_before) == 2
+
+        # resumed run: completed crawlers skipped, the rest finish
+        status = run_pipeline(store, CRAWLER_ORDER, resume=True)
+        assert all(
+            v == "skipped (checkpoint)" for k, v in status.items() if k in done_before
+        )
+        assert all(v == "ok" for k, v in status.items() if k not in done_before)
+
+        # no crawler partition lost: every crawler has triples on disk
+        names = {
+            r["reference_name"]
+            for r in store.read_triples().select("reference_name").distinct().collect()
+        }
+        assert names == {c.NAME for c in CRAWLER_ORDER}
+
+        # lineage: materialize ran exactly once per crawler
+        lin = store.read_lineage().filter("stage = 'materialize'").collect()
+        per = {}
+        for r in lin:
+            per[r["crawler"]] = per.get(r["crawler"], 0) + 1
+        assert all(v == 1 for v in per.values()), per
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
