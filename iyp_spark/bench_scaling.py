@@ -1,0 +1,66 @@
+"""Scaling-efficiency probe: run the full KG pipeline (parse → link →
+materialize, batched mode) on a pre-generated corpus at a given parallelism
+and print one JSON line with docs/sec.
+
+This is the sandbox stand-in for the north rule's N vs 4N *executor*
+criterion: identical job + identical input at local[8] vs local[32]
+(BASELINE.md "Scaling efficiency"). Invoked as a subprocess by bench.py so
+each measurement gets a fresh JVM at exactly the requested core count.
+
+Usage: python -m iyp_spark.bench_scaling --cores 8 --corpus /tmp/corpus --lake /tmp/lake8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--corpus", required=True, help="documents parquet dir")
+    ap.add_argument("--lake", required=True)
+    args = ap.parse_args()
+
+    import os
+
+    from .crawlers import BENCH_CRAWLERS as CRAWLER_ORDER
+    from .framework import run_pipeline_batched
+    from .session import get_spark
+    from .store import GraphStore
+
+    # identical memory at both parallelism levels — only cores vary
+    os.environ.setdefault("IYP_SPARK_DRIVER_MEM", "32g")
+    shutil.rmtree(args.lake, ignore_errors=True)
+    # fixed shuffle partitioning: both runs execute the IDENTICAL plan —
+    # only the executor-thread count differs (the N vs 4N criterion)
+    spark = get_spark(f"bench_scaling_{args.cores}", cores=args.cores,
+                      shuffle_partitions=64)
+    store = GraphStore(spark, args.lake)
+
+    # stage corpus into the lake (not timed: input is identical by design)
+    docs = spark.read.parquet(args.corpus)
+    store.write_documents(docs)
+    n_docs = store.read_documents().count()
+
+    # warm the JVM/codegen so we measure the job, not first-run compilation
+    store.read_documents().limit(10).count()
+
+    t0 = time.time()
+    result = run_pipeline_batched(store, CRAWLER_ORDER)
+    dt = time.time() - t0
+    print(json.dumps({
+        "cores": args.cores,
+        "docs": n_docs,
+        "seconds": round(dt, 2),
+        "docs_per_sec": round(n_docs / dt, 1),
+        "triples": result["triples"],
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -129,7 +129,7 @@ def canon_cc(col: Column) -> Column:
 def canon_asn(col: Column) -> Column:
     """ASN → long, tolerating an 'AS' prefix (ref iyp/__init__.py:18-25,
     removeprefix('AS') in ripe/roa.py:70, bgptools/tags.py:83)."""
-    return F.regexp_replace(F.trim(col.cast("string")), r"^[aA][sS]", "").cast("long")
+    return F.regexp_replace(F.trim(col.cast("string")), r"^[aA][sS]", "").try_cast("long")
 
 
 def strip_root_dot(col: Column) -> Column:

@@ -1,19 +1,35 @@
 """Crawler registry — ordered like the reference config
-(config.json.example:56-135); order matters for link-to-existing-only
-crawlers (SURVEY.md §7.3)."""
+(config.json.example:56-135); order matters for crawlers that link against
+or prefer pre-existing nodes (SURVEY.md §7.3): tranco must precede
+cisco.umbrella (DomainName preference), etc."""
 
 from __future__ import annotations
 
 from .bgpkit_pfx2asn import PfxToAsn
 from .ripe_as_names import RipeAsNames
 from .caida_asrank import CaidaAsRank
-from .bgpkit_as2rel import BgpkitAs2RelV4
+from .bgpkit_as2rel import BgpkitAs2RelV4, BgpkitAs2RelV6
+from .tranco_top1m import TrancoTop1M
+from .cisco_umbrella import CiscoUmbrella
+from .ihr_hegemony import IhrHegemonyV4, IhrHegemonyV6
+from .bgptools_tags import BgpToolsTags
+from .stanford_asdb import StanfordAsdb
+from .apnic_eyeball import ApnicEyeball
 
 CRAWLER_ORDER = [
     PfxToAsn,
     RipeAsNames,
     CaidaAsRank,
     BgpkitAs2RelV4,
+    TrancoTop1M,
+    IhrHegemonyV4,
+    BgpToolsTags,
+    StanfordAsdb,
+    ApnicEyeball,
+    CiscoUmbrella,  # second wave: prefers existing DomainName/HostName nodes
 ]
+
+# the subset used for large-scale bench/scaling corpora (fixtures_spark.py)
+BENCH_CRAWLERS = [PfxToAsn, RipeAsNames, CaidaAsRank, BgpkitAs2RelV4]
 
 REGISTRY = {c.NAME: c for c in CRAWLER_ORDER}

@@ -45,6 +45,7 @@ class BgpkitAs2RelBase(SparkCrawler):
                 lambda k, v: v.isNotNull(),
             ),
         )
+        rec = self.m(rec)
         all_as = rec.select(F.col("asn1").alias("asn")).unionByName(
             rec.select(F.col("asn2").alias("asn"))
         )

@@ -35,6 +35,7 @@ class PfxToAsn(SparkCrawler):
             # malformed prefixes → null → dropped (ref :33-37 warning+continue)
             .filter(F.col("prefix").isNotNull() & F.col("asn").isNotNull())
         )
+        mentions = self.m(mentions)
         as_nodes = self.make_nodes(mentions, "AS", "asn")
         # Prefix label added on top of BGPPrefix (ref :47-49 batch_add_node_label)
         pfx_nodes = self.make_nodes(mentions, "BGPPrefix", "prefix",

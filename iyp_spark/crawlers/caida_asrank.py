@@ -42,13 +42,14 @@ class CaidaAsRank(SparkCrawler):
         rec = docs.select(
             F.from_json(self.text_span(0), RECORD_SCHEMA).alias("r")
         ).select(
-            F.col("r.asn").cast("long").alias("asn"),
+            F.col("r.asn").try_cast("long").alias("asn"),
             F.col("r.asnName").alias("name"),
             F.col("r.rank").alias("rank"),
             canon_cc(F.col("r.country.iso")).alias("cc"),
             F.col("r.latitude").alias("lat"),
             F.col("r.longitude").alias("lon"),
         ).filter(F.col("asn").isNotNull())
+        rec = self.m(rec)
 
         named = rec.filter(F.col("name").isNotNull() & (F.col("name") != ""))
         in_country = rec.filter(F.col("cc").isNotNull() & (F.col("cc") != ""))

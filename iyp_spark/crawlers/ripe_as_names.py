@@ -56,12 +56,13 @@ class RipeAsNames(SparkCrawler):
                 & (F.length("cc") <= 2)
             )
             .select(
-                F.col("asn_str").cast("long").alias("asn"),
+                F.col("asn_str").try_cast("long").alias("asn"),
                 F.col("name"),
                 canon_cc(F.col("cc")).alias("cc"),
             )
             .filter(F.col("asn").isNotNull())
         )
+        mentions = self.m(mentions)
         nodes = [
             self.make_nodes(mentions, "AS", "asn"),
             self.make_nodes(mentions, "Name", "name"),

@@ -1,0 +1,641 @@
+"""Driver-contract query library: each entry is a Spark DataFrame program
+plus an ANSI-SQL oracle DuckDB runs on the same parquet tables.
+
+Coverage maps to SURVEY.md §2 (operator inventory) plus the training-data
+ops (dedup / similarity / text analysis / multimodal). Conventions that keep
+the driver's order-insensitive value-hash comparison stable:
+
+- every computed column is aliased identically on both sides;
+- money aggregates go through DECIMAL(18,4) so sums are exact (bit-identical
+  across engines), then ROUND + CAST AS DOUBLE;
+- timestamps are formatted to strings; doubles produced by float math are
+  rounded on both sides;
+- ties in top-k/window ranks are broken by a unique id column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _money(col: F.Column) -> F.Column:
+    return col.cast("decimal(18,4)")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+# =====================================================================
+# A1: groupBy aggregation (TPC-H Q1 shape; SURVEY §2.5)
+# =====================================================================
+@q("pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1.0 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+       FLOOR(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 1000000) / 1000000 AS avg_disc,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""")
+def pricing_summary(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    one = F.lit(1.0).cast("decimal(18,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(_money(F.col("l_quantity"))), 2).cast("double").alias("sum_qty"),
+        F.round(
+            F.sum(_money(F.col("l_extendedprice")) * (one - _money(F.col("l_discount")))), 2
+        ).cast("double").alias("revenue"),
+        (
+            F.floor(
+                F.sum(_money(F.col("l_discount"))).cast("double")
+                / F.count(F.lit(1)) * F.lit(1000000.0)
+            ) / F.lit(1000000.0)
+        ).alias("avg_disc"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# =====================================================================
+# W1: window rank / top-k per group (SURVEY §2.6, apnic/eyeball.py:52-55)
+# =====================================================================
+@q("top3_orders_per_customer", """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+""")
+def top3_orders_per_customer(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice",
+                 F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# =====================================================================
+# J1/J3: multi-dim equi join, dims broadcast (SURVEY §2.4)
+# =====================================================================
+@q("revenue_per_region", """
+SELECT r_name,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
+def revenue_per_region(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(_money(F.col("o_totalprice"))), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@q("automobile_priority_counts", """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'AUTOMOBILE'
+GROUP BY o_orderpriority
+""")
+def automobile_priority_counts(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "AUTOMOBILE")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# =====================================================================
+# J7: anti join — create-missing semantics (iyp/__init__.py:305-307)
+# =====================================================================
+@q("customers_without_pending_orders", """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+""")
+def customers_without_pending_orders(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# S8: semi join — seed scan restriction (iyp/__init__.py:279-304)
+@q("suppliers_in_rich_customer_nations", """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 5000)
+""")
+def suppliers_in_rich_customer_nations(spark, sf_dir):
+    s = tbl(spark, sf_dir, "supplier")
+    c = tbl(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return (
+        s.join(c, s.s_nationkey == c.c_nationkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+# =====================================================================
+# J6: range/interval join (nro/delegated_stats.py:104-113)
+# =====================================================================
+_BANDS = [("budget", 0.0, 940.0), ("standard", 940.0, 970.0), ("premium", 970.0, 1e9)]
+
+@q("part_price_band_join", """
+WITH bands(band, lo, hi) AS (VALUES
+  ('budget', 0.0, 940.0), ('standard', 940.0, 970.0), ('premium', 970.0, 1e9))
+SELECT band, COUNT(*) AS n_parts,
+       CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+""")
+def part_price_band_join(spark, sf_dir):
+    p = tbl(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_BANDS, ["band", "lo", "hi"])
+    return (
+        p.join(F.broadcast(bands),
+               (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum(_money(F.col("p_retailprice"))), 2).cast("double").alias("total_price"),
+        )
+    )
+
+
+# =====================================================================
+# A5/A6: latest-per-group dedup (post/clean_links.py:58-74)
+# =====================================================================
+@q("latest_event_per_user", """
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+""")
+def latest_event_per_user(spark, sf_dir):
+    e = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "user_id", "event_id", "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+    )
+
+
+# A1 pivot: per-group per-category counts (ooni/__init__.py:156-185)
+@q("event_type_pivot_per_user", """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (event_type = 'view')     AS n_view,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (event_type = 'error')    AS n_error
+FROM events GROUP BY user_id
+""")
+def event_type_pivot_per_user(spark, sf_dir):
+    e = tbl(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    return e.groupBy("user_id").agg(*aggs)
+
+
+# =====================================================================
+# U2/U3: set operations (SURVEY §2.7)
+# =====================================================================
+@q("nations_with_both_cust_and_supp", """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""")
+def nations_with_both_cust_and_supp(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = tbl(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@q("nations_cust_only", """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier WHERE s_acctbal > 3000
+""")
+def nations_cust_only(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = (
+        tbl(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 3000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.subtract(s)  # SQL EXCEPT = distinct set difference
+
+
+# U1: union + tagged aggregate
+@q("union_quantity_extremes", """
+SELECT tag, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty
+FROM (
+  SELECT 'low' AS tag, l_quantity FROM lineitem WHERE l_quantity <= 5
+  UNION ALL
+  SELECT 'high' AS tag, l_quantity FROM lineitem WHERE l_quantity >= 45
+) GROUP BY tag
+""")
+def union_quantity_extremes(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    lo = li.filter("l_quantity <= 5").select(F.lit("low").alias("tag"), "l_quantity")
+    hi = li.filter("l_quantity >= 45").select(F.lit("high").alias("tag"), "l_quantity")
+    return lo.unionByName(hi).groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(_money(F.col("l_quantity"))), 2).cast("double").alias("qty"),
+    )
+
+
+# =====================================================================
+# E1: explode/unnest + top-k (peeringdb/ix.py nested sets; SURVEY §2.8)
+# =====================================================================
+@q("top20_tokens", """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+""")
+def top20_tokens(spark, sf_dir):
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+        .filter("token <> ''")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+# =====================================================================
+# P6: string functions (ripe/as_names partition parse, regex extracts)
+# =====================================================================
+@q("part_brand_type_stats", """
+SELECT regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+       split_part(p_type, ' ', 1) AS type_head,
+       COUNT(*) AS n, MAX(p_size) AS max_size
+FROM part GROUP BY brand_num, type_head
+""")
+def part_brand_type_stats(spark, sf_dir):
+    p = tbl(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+            F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+            "p_size",
+        )
+        .groupBy("brand_num", "type_head")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("p_size").alias("max_size"))
+    )
+
+
+# P2-ish: JSON property extraction (events.props)
+@q("event_json_props", """
+SELECT event_type,
+       CAST(ROUND(SUM(CAST(CAST(props->>'k' AS INT) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+""")
+def event_json_props(spark, sf_dir):
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.select("event_type",
+                 F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(_money(F.col("k"))), 2).cast("double").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# =====================================================================
+# rollup (grouping sets)
+# =====================================================================
+@q("order_status_rollup", """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""")
+def order_status_rollup(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+# =====================================================================
+# W: running aggregate over ordered window
+# =====================================================================
+@q("monthly_running_revenue", """
+SELECT month, CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(SUM(rev_dec) OVER (ORDER BY month
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+FROM (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS rev_dec
+  FROM orders GROUP BY month)
+""")
+def monthly_running_revenue(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.round(F.sum(_money(F.col("o_totalprice"))), 2).alias("rev_dec"))
+    w = W.orderBy("month").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return monthly.select(
+        "month",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.sum("rev_dec").over(w).cast("double").alias("running"),
+    )
+
+
+# =====================================================================
+# Streaming-shaped: tumbling-window aggregation (batch equivalent of a
+# Structured Streaming windowed count; SURVEY §2.9 notes the reference is
+# batch-only — this is the windowed-agg semantics a stream would use)
+# =====================================================================
+@q("hourly_event_windows", """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY window_start, event_type
+""")
+def hourly_event_windows(spark, sf_dir):
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_money(F.col("value"))), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+# =====================================================================
+# Training-data ops: text analysis (ops/text.py)
+# =====================================================================
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+@q("doc_token_stats", f"""
+SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars,
+       FLOOR(length(replace(text, ' ', '')) / len(toks) * 10000) / 10000 AS avg_token_len
+FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+""")
+def doc_token_stats(spark, sf_dir):
+    from .ops.text import token_stats
+    return token_stats(tbl(spark, sf_dir, "documents"))
+
+
+@q("doc_quality_score", f"""
+SELECT doc_id, n_tokens,
+       FLOOR(stop_raw * 10000) / 10000 AS stop_ratio,
+       FLOOR(ttr_raw * 10000) / 10000 AS type_token_ratio,
+       FLOOR((1.0 - stop_raw + ttr_raw) / 2.0 * 10000) / 10000 AS quality
+FROM (SELECT doc_id, len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','in'))) / len(toks) AS stop_raw,
+             len(list_distinct(toks)) / len(toks) AS ttr_raw
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents))
+""")
+def doc_quality_score(spark, sf_dir):
+    from .ops.text import quality_score
+    return quality_score(tbl(spark, sf_dir, "documents"))
+
+
+@q("doc_lang_guess", f"""
+SELECT doc_id, en_hits, de_hits, fr_hits,
+       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+            WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+            WHEN fr_hits > 0 THEN 'fr'
+            ELSE 'unknown' END AS lang_guess
+FROM (SELECT doc_id,
+             len(list_filter(toks, x -> x IN ('the','a','of'))) AS en_hits,
+             len(list_filter(toks, x -> x IN ('der','die','das'))) AS de_hits,
+             len(list_filter(toks, x -> x IN ('le','la','les'))) AS fr_hits
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents))
+""")
+def doc_lang_guess(spark, sf_dir):
+    from .ops.text import lang_guess
+    return lang_guess(tbl(spark, sf_dir, "documents"))
+
+
+@q("doc_fingerprint", """
+SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+       substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 8) AS fp8
+FROM documents
+""")
+def doc_fingerprint(spark, sf_dir):
+    from .ops.text import fingerprint
+    return fingerprint(tbl(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# Training-data ops: deduplication (ops/dedup.py)
+# =====================================================================
+# duplicate synthesis shared by the dedup oracles (the test corpus has no
+# natural dups): exact copies at +10000 for doc_id%5==0, tail-truncated
+# near-dups at +20000 for doc_id%7==0 — mirrored in ops.dedup.with_mutants
+_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 20000, substr(text, 1, greatest(length(text) - 40, 20))
+  FROM documents WHERE doc_id % 7 = 0
+)"""
+
+_SHINGLES_SQL = f"""
+tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                  range(1, greatest(len(toks) - 2, 1) + 1),
+                  i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+       FROM tok)"""
+
+_SIG_SQL = """
+sig AS (SELECT doc_id, band, min(md5(band || ':' || sh)) AS sig
+        FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS band)
+        GROUP BY doc_id, band)"""
+
+
+@q("dedup_exact_groups", f"""
+WITH {_CORPUS_SQL}
+SELECT fp, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+FROM (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM corpus)
+GROUP BY fp HAVING COUNT(*) > 1
+""")
+def dedup_exact_groups(spark, sf_dir):
+    from .ops.dedup import exact_dedup_groups, with_mutants
+    return exact_dedup_groups(with_mutants(tbl(spark, sf_dir, "documents")))
+
+
+@q("dedup_minhash_lsh_candidates", f"""
+WITH {_CORPUS_SQL}, {_SHINGLES_SQL}, {_SIG_SQL}
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sig a JOIN sig b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+""")
+def dedup_minhash_lsh_candidates(spark, sf_dir):
+    from .ops.dedup import lsh_candidate_pairs, with_mutants
+    return lsh_candidate_pairs(with_mutants(tbl(spark, sf_dir, "documents")))
+
+
+@q("dedup_jaccard_verified", f"""
+WITH {_CORPUS_SQL}, {_SHINGLES_SQL}, {_SIG_SQL},
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sig a JOIN sig b
+           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT id_a, id_b, COUNT(*) AS n_inter
+          FROM cand
+          JOIN sh a ON cand.id_a = a.doc_id
+          JOIN sh b ON cand.id_b = b.doc_id AND a.sh = b.sh
+          GROUP BY id_a, id_b)
+SELECT id_a, id_b,
+       FLOOR(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000) / 10000 AS jaccard
+FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+           JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE FLOOR(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000) / 10000 >= 0.5
+""")
+def dedup_jaccard_verified(spark, sf_dir):
+    from .ops.dedup import jaccard_verified_pairs, with_mutants
+    return jaccard_verified_pairs(with_mutants(tbl(spark, sf_dir, "documents")))
+
+
+@q("dedup_simhash", f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents),
+bit AS (SELECT doc_id, i,
+               CASE WHEN substr(md5(t), CAST(i AS INT), 1)
+                         IN ('8','9','a','b','c','d','e','f')
+                    THEN 1 ELSE -1 END AS c
+        FROM tok CROSS JOIN (SELECT unnest(range(1, 17)) AS i)),
+s AS (SELECT doc_id, i, SUM(c) AS s FROM bit GROUP BY doc_id, i)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (1 << (CAST(i AS INT) - 1)) ELSE 0 END) AS BIGINT) AS simhash
+FROM s GROUP BY doc_id
+""")
+def dedup_simhash(spark, sf_dir):
+    from .ops.dedup import simhash
+    return simhash(tbl(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# Training-data ops: similarity search (ops/similarity.py)
+# =====================================================================
+@q("cosine_topk_bruteforce", """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v)
+SELECT q_id, n_id, FLOOR(cos * 1000000) / 1000000 AS cos, rn FROM (
+  SELECT q.vec_id AS q_id, x.vec_id AS n_id,
+         list_dot_product(q.vec, x.vec) / (q.nrm * x.nrm) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.vec, x.vec) / (q.nrm * x.nrm) DESC,
+                      x.vec_id) AS rn
+  FROM n q JOIN n x ON x.vec_id <> q.vec_id
+  WHERE q.vec_id < 10)
+WHERE rn <= 5
+""")
+def cosine_topk_bruteforce(spark, sf_dir):
+    from .ops.similarity import cosine_topk
+    return cosine_topk(tbl(spark, sf_dir, "embeddings"))
+
+
+@q("ann_ivf_topk", """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
+cents AS (SELECT vec_id AS c_id, vec AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT vec_id, vec, nrm, c_id AS cell FROM (
+    SELECT n.vec_id, n.vec, n.nrm, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+               ORDER BY list_dot_product(n.vec, c.cv) / (n.nrm * c.cn) DESC,
+                        c.c_id) AS rn
+    FROM n CROSS JOIN cents c) WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, vec AS qv, nrm AS qn, cell
+      FROM assigned WHERE vec_id < 10)
+SELECT q_id, n_id, cell, FLOOR(cos * 1000000) / 1000000 AS cos FROM (
+  SELECT q.q_id, a.vec_id AS n_id, q.cell,
+         list_dot_product(q.qv, a.vec) / (q.qn * a.nrm) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY list_dot_product(q.qv, a.vec) / (q.qn * a.nrm) DESC,
+                      a.vec_id) AS rn
+  FROM q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.q_id)
+WHERE rn <= 3
+""")
+def ann_ivf_topk(spark, sf_dir):
+    from .ops.similarity import ivf_topk
+    return ivf_topk(tbl(spark, sf_dir, "embeddings"))
+
+
+# =====================================================================
+# Training-data ops: multimodal decode plumbing (ops/multimodal.py)
+# Spark side: real binary column + Arrow mapInPandas; decode itself is a
+# deterministic stub (no media libs in the container).
+# =====================================================================
+@q("multimodal_decode_meta", """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+       CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
+       CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+FROM documents
+""")
+def multimodal_decode_meta(spark, sf_dir):
+    from .ops.multimodal import decode_media, docs_as_media
+    return decode_media(docs_as_media(tbl(spark, sf_dir, "documents")))

@@ -187,8 +187,9 @@ def gen_bgpkit_as2rel(scale: float = 1.0) -> list[FixtureDoc]:
     n = int(600 * scale)
     docs = []
     seen = set()
+    draws = zipf_asns(rng, 2 * n)  # one Zipf draw for all pairs (pool built once)
     for i in range(n):
-        a1, a2 = zipf_asns(rng, 2)
+        a1, a2 = draws[2 * i], draws[2 * i + 1]
         if a1 == a2 or (a1, a2) in seen:
             continue
         seen.add((a1, a2))
@@ -240,3 +241,171 @@ def write_corpus(store, scale: float = 1.0, crawlers: list[str] | None = None) -
     df = store.spark.createDataFrame(docs_to_rows(docs), DOCUMENTS_SCHEMA)
     store.write_documents(df)
     return len(docs)
+
+
+# ---------------------------------------------------------------- batch 2
+
+TLDS = ["com", "net", "org", "io"]
+
+
+def domain_pool(n: int = 300) -> list[str]:
+    rng = _rng("domain_pool")
+    out = []
+    for i in range(n):
+        w = rng.choice(ORG_WORDS).lower() + rng.choice(ORG_WORDS).lower()
+        out.append(f"{w}{i}.{rng.choice(TLDS)}")
+    return out
+
+
+def gen_tranco_top1m(scale: float = 1.0) -> list[FixtureDoc]:
+    """FIXTURES.md §2.8 — ref iyp/crawlers/tranco/top1m.py:44-63."""
+    name = "tranco.top1m"
+    rng = _rng(name)
+    pool = domain_pool()
+    n = min(int(300 * scale), len(pool)) if scale <= 1 else len(pool)
+    order = rng.sample(pool, n) if n <= len(pool) else pool
+    docs = []
+    for i, dom in enumerate(order):
+        line = f"{i + 1},{dom}"
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name,
+                               _spans([("text", line)]), {"rank": i + 1, "domain": dom}))
+    return docs
+
+
+def gen_cisco_umbrella(scale: float = 1.0) -> list[FixtureDoc]:
+    """FIXTURES.md §2.8 — ref iyp/crawlers/cisco/umbrella_top1m.py:59-122.
+    Mixes existing domains (tranco pool), new 2-label domains, and
+    3-label hostnames; a few invalid lines (no comma)."""
+    name = "cisco.umbrella_top1m"
+    rng = _rng(name)
+    pool = domain_pool()
+    n = int(400 * scale)
+    docs = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.02:
+            line = f"{i + 1}"  # invalid: no comma → skipped
+            rec = {"rank": i + 1, "name": None}
+        else:
+            if r < 0.55:
+                nm = rng.choice(pool)  # likely existing DomainName
+            elif r < 0.75:
+                w = rng.choice(ORG_WORDS).lower()
+                nm = f"{w}{i}new.{rng.choice(TLDS)}"  # new 2-label domain
+            else:
+                sub = rng.choice(["www", "mail", "cdn", "api"])
+                nm = f"{sub}.{rng.choice(pool)}"  # hostname
+            line = f"{i + 1},{nm}"
+            rec = {"rank": i + 1, "name": nm}
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name, _spans([("text", line)]), rec))
+    return docs
+
+
+def gen_ihr_hegemony(scale: float = 1.0) -> list[FixtureDoc]:
+    """FIXTURES.md §2.10 — ref iyp/crawlers/ihr/__init__.py:49-81.
+    Two timebins; only the first is kept by the reference."""
+    name = "ihr.local_hegemony_v4"
+    rng = _rng(name)
+    pool = asn_pool()
+    n = int(500 * scale)
+    timebins = ["2026-01-01 00:00:00+00", "2026-01-01 08:00:00+00"]
+    docs = []
+    for i in range(n):
+        tb = timebins[0] if i < n * 0.7 else timebins[1]
+        o, a = rng.choice(pool), rng.choice(pool)
+        hege = round(rng.random(), 4)
+        line = f"{tb},{o},{a},{hege}"
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name, _spans([("text", line)]),
+                               {"timebin": tb, "originasn": o, "asn": a, "hege": hege}))
+    return docs
+
+
+BGPTOOLS_TAGS = {"cdn": "Content Delivery Network", "dsl": "Home ISP",
+                 "a10k": "Tranco 10k Host", "vpn": "VPN Host"}
+
+
+def gen_bgptools_tags(scale: float = 1.0) -> list[FixtureDoc]:
+    """FIXTURES.md §2.11 — ref iyp/crawlers/bgptools/tags.py:57-94.
+    One document per (tag, AS) row; span 0 = tag label, span 1 = csv row."""
+    name = "bgptools.tags"
+    rng = _rng(name)
+    pool = asn_pool()
+    n = int(400 * scale)
+    docs = []
+    for i in range(n):
+        tag, label = rng.choice(sorted(BGPTOOLS_TAGS.items()))
+        asn = rng.choice(pool)
+        row = f"AS{asn},{org_name(rng)}"
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name,
+                               _spans([("text", label), ("text", row)]),
+                               {"label": label, "asn": asn}))
+    return docs
+
+
+ASDB_CATS = {
+    "Computer and IT": ["Hosting", "Software", "Other"],
+    "Media": ["Streaming", "News", "Other"],
+    "Finance": ["Banking", "Insurance"],
+    "Education": ["University"],
+}
+
+
+def gen_stanford_asdb(scale: float = 1.0) -> list[FixtureDoc]:
+    """FIXTURES.md §2.11 — ref iyp/crawlers/stanford/asdb.py:50-118.
+    Line: ASN,cat1,sub1[,cat2,sub2] with 'Other' subcats to drop and some
+    empty subcategories."""
+    name = "stanford.asdb"
+    rng = _rng(name)
+    pool = asn_pool()
+    n = int(300 * scale)
+    docs = []
+    for i in range(n):
+        asn = rng.choice(pool)
+        n_pairs = rng.choice([1, 1, 2])
+        parts = [f"AS{asn}"]
+        pairs = []
+        for _ in range(n_pairs):
+            cat = rng.choice(sorted(ASDB_CATS))
+            sub = rng.choice(ASDB_CATS[cat] + [""])
+            parts += [cat, sub]
+            pairs.append((cat, sub))
+        line = ",".join(parts)
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name, _spans([("text", line)]),
+                               {"asn": asn, "pairs": pairs}))
+    return docs
+
+
+def gen_apnic_eyeball(scale: float = 1.0) -> list[FixtureDoc]:
+    """FIXTURES.md §2.12 — ref iyp/crawlers/apnic/eyeball.py:40-84.
+    One document per (country, AS estimate); span 0 = cc, span 1 = JSON.
+    Percents are unique per country (the reference's sort is tie-unstable)."""
+    name = "apnic.eyeball"
+    rng = _rng(name)
+    pool = asn_pool()
+    ccs = sorted(COUNTRIES[: max(3, int(10 * min(scale, 3)))])
+    per_cc = max(5, int(30 * scale))
+    docs = []
+    i = 0
+    for cc in ccs:
+        percents = rng.sample(range(1, 10000), per_cc)
+        chosen = rng.sample(pool, min(per_cc, len(pool)))
+        for j, asn in enumerate(chosen):
+            rec = {"as": asn, "autnum": f"AS{asn}-NAME",
+                   "percent": percents[j] / 100.0}
+            docs.append(FixtureDoc(
+                f"{name}/{i:06d}", name,
+                _spans([("text", cc.upper()), ("text", json.dumps(rec, sort_keys=True))]),
+                {"cc": cc.upper(), **rec},
+            ))
+            i += 1
+    return docs
+
+
+GENERATORS.update({
+    "tranco.top1m": gen_tranco_top1m,
+    "cisco.umbrella_top1m": gen_cisco_umbrella,
+    "ihr.local_hegemony_v4": gen_ihr_hegemony,
+    "bgptools.tags": gen_bgptools_tags,
+    "stanford.asdb": gen_stanford_asdb,
+    "apnic.eyeball": gen_apnic_eyeball,
+})

@@ -48,6 +48,13 @@ class SparkCrawler:
     def __init__(self, store: GraphStore):
         self.store = store
         self.spark = store.spark
+        self.cache_mentions = False  # set by the batched runner
+
+    def m(self, mentions: DataFrame) -> DataFrame:
+        """Mark the parsed-mentions DataFrame: in batched mode it is
+        persisted so the node- and triple-derivation subtrees share one
+        parse pass instead of recomputing it."""
+        return mentions.persist() if self.cache_mentions else mentions
 
     # ---------- reference stamping (iyp/__init__.py:701-708) ----------
     def reference_col(self) -> F.Column:
@@ -64,8 +71,9 @@ class SparkCrawler:
     def text_span(self, idx: int) -> F.Column:
         """The idx-th *text* span of a document (media spans interleave:
         FIXTURES.md §1), preserving order by offset."""
-        return F.element_at(
-            F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")), idx + 1
+        return F.try_element_at(
+            F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")),
+            F.lit(idx + 1),
         )["text"]
 
     def make_nodes(
@@ -82,9 +90,10 @@ class SparkCrawler:
             )
         else:
             base = base.withColumn("props", F.lit(None).cast("map<string,string>"))
+        # NOTE: no dropDuplicates here — GraphStore.upsert_nodes groups by
+        # (label, key) anyway; deduping twice would just add a shuffle.
         return (
             base.filter(F.col("key").isNotNull())
-            .dropDuplicates(["key"])
             .select(
                 F.lit(label).alias("label"),
                 "key",
@@ -136,19 +145,30 @@ class SparkCrawler:
     def run(self, run_id: str | None = None) -> dict:
         run_id = run_id or uuid.uuid4().hex[:12]
         docs = self.store.read_documents(crawler=self.NAME)
-        with StageTimer(self.store, self.NAME, "parse", run_id):
-            node_dfs, triple_dfs = self.transform(docs)
-        with StageTimer(self.store, self.NAME, "link_nodes", run_id) as t:
-            n_nodes = 0
-            for nd in node_dfs:
-                n_nodes += self.store.upsert_nodes(nd)
-            t.rows = n_nodes
-        with StageTimer(self.store, self.NAME, "materialize", run_id) as t:
-            triples = triple_dfs[0]
-            for extra in triple_dfs[1:]:
-                triples = triples.unionByName(extra)
-            n_triples = self.store.replace_triples(self.NAME, triples)
-            t.rows = n_triples
+        was_cached = self.cache_mentions
+        self.cache_mentions = True  # share one parse across the subtrees below
+        try:
+            with StageTimer(self.store, self.NAME, "parse", run_id):
+                node_dfs, triple_dfs = self.transform(docs)
+                # materialize every derived output BEFORE writing: transforms
+                # that read the node dictionary (S8, e.g. umbrella's
+                # DomainName preference) would otherwise re-read partitions
+                # our own upsert is about to replace
+                node_dfs = [nd.localCheckpoint(eager=True) for nd in node_dfs]
+                triples = triple_dfs[0]
+                for extra in triple_dfs[1:]:
+                    triples = triples.unionByName(extra)
+                triples = triples.localCheckpoint(eager=True)
+            with StageTimer(self.store, self.NAME, "link_nodes", run_id) as t:
+                n_nodes = 0
+                for nd in node_dfs:
+                    n_nodes += self.store.upsert_nodes(nd)
+                t.rows = n_nodes
+            with StageTimer(self.store, self.NAME, "materialize", run_id) as t:
+                n_triples = self.store.replace_triples(self.NAME, triples)
+                t.rows = n_triples
+        finally:
+            self.cache_mentions = was_cached
         return {"crawler": self.NAME, "nodes": n_nodes, "triples": n_triples}
 
     def unit_test(self) -> None:
@@ -165,6 +185,48 @@ class SparkCrawler:
         missing = [p for p in self.EXPECTED_PREDS if p not in got]
         if missing:
             raise RelationCountError(f"{self.NAME}: no triples for {missing}")
+
+
+def run_pipeline_batched(store: GraphStore, crawlers: list[type[SparkCrawler]]) -> dict:
+    """Throughput path: run every crawler's transform lazily, union all node
+    and triple outputs, and materialize with ONE dictionary merge and ONE
+    partitioned triples write — collapsing per-crawler job overhead into a
+    single shuffle per table. This is the shape of the production weekly
+    build; the per-crawler `run_pipeline` loop is the checkpointed/resumable
+    path (use it when you need partition-level restart)."""
+    # crawlers that read the node dictionary (S8 seed scans) must see the
+    # first wave's output on disk — run them per-crawler after the batch
+    wave1 = [c for c in crawlers if not getattr(c, "NEEDS_EXISTING", False)]
+    wave2 = [c for c in crawlers if getattr(c, "NEEDS_EXISTING", False)]
+    all_nodes = None
+    all_triples = None
+    names = []
+    for cls in wave1:
+        crawler = cls(store)
+        crawler.cache_mentions = True
+        names.append(crawler.NAME)
+        docs = store.read_documents(crawler=crawler.NAME)
+        node_dfs, triple_dfs = crawler.transform(docs)
+        for nd in node_dfs:
+            all_nodes = nd if all_nodes is None else all_nodes.unionByName(nd)
+        for td in triple_dfs:
+            all_triples = td if all_triples is None else all_triples.unionByName(td)
+    import time as _time
+
+    run_id = uuid.uuid4().hex[:12]
+    t0 = _time.time()
+    n_nodes = store.upsert_nodes(all_nodes)
+    n_triples = store.replace_triples_multi(all_triples)
+    dt = _time.time() - t0
+    store.spark.catalog.clearCache()  # drop persisted mention sets
+    for name in names:
+        store.log_lineage(name, "materialize", n_triples, dt, run_id=run_id)
+    for cls in wave2:
+        crawler = cls(store)
+        res = crawler.run(run_id=run_id)
+        n_nodes += res["nodes"]
+        n_triples += res["triples"]
+    return {"nodes": n_nodes, "triples": n_triples, "seconds": dt}
 
 
 def run_pipeline(

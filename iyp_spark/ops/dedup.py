@@ -1,0 +1,162 @@
+"""Deduplication operators for web-scale corpora.
+
+- exact:   hash-groupBy on a normalized content fingerprint
+- MinHash+LSH: word-shingles → per-band min-hash signature → band-bucket
+  self-join → candidate pairs (sub-quadratic; the scale path)
+- n-gram Jaccard: exact similarity verification on candidate pairs
+- SimHash: 16-bit bitwise-majority signature (Hamming-bucketable)
+
+Engine-portability note: md5 is the shared hash (identical output in Spark
+and DuckDB), so every signature here is oracle-checkable. At production
+scale you would swap md5 for xxhash64 — one line per operator.
+
+Scale analysis (10^12 docs): the only shuffles are (a) the groupBy building
+per-(doc,band) minima — map-side partial aggregation applies — and (b) the
+band-bucket join, whose key cardinality is ~n_bands × n_buckets, uniform by
+construction (hash values), so no skew salting is needed; AQE handles any
+residual imbalance from giant duplicate clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_col, trunc4
+
+N_BANDS = 8
+
+
+def with_mutants(docs: DataFrame, exact_every: int = 5, near_every: int = 7) -> DataFrame:
+    """Synthesize duplicates deterministically inside the query (the test
+    corpus has no natural dups): exact copies for doc_id % exact_every == 0
+    (id+10000), near-dups (tail-truncated) for doc_id % near_every == 0
+    (id+20000)."""
+    base = docs.select("doc_id", "text")
+    exact = base.filter(F.col("doc_id") % exact_every == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    near = base.filter(F.col("doc_id") % near_every == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(length(text) - 40, 20))").alias("text"),
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup: group by content hash, keep min doc_id (the canonical
+    representative), report duplicate clusters."""
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return (
+        docs.select("doc_id", F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word k-grams per document."""
+    d = docs.select("doc_id", tokens_col().alias("toks"))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("toks") - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(F.col("toks"), i, k), " "),
+    )
+    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+
+
+def minhash_signatures(sh: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band, sig): per-band min of md5(band:shingle) — one hash
+    function per band, signature = the band minimum."""
+    return (
+        sh.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+            "sh",
+        )
+        .select(
+            "doc_id", "band",
+            F.md5(F.concat_ws(":", F.col("band"), F.col("sh"))).alias("h"),
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH near-dup candidates: docs sharing any band signature."""
+    sig = minhash_signatures(shingles(docs))
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verified_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """n-gram Jaccard verification of LSH candidates: true |A∩B| / |A∪B|
+    over distinct word 3-gram sets, filtered to >= threshold."""
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cand = lsh_candidate_pairs(docs)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cand.join(a, cand.id_a == F.col("a.doc_id"))
+        .join(b, (cand.id_b == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, inter.id_a == F.col("sa.doc_id"))
+        .join(sb, inter.id_b == F.col("sb.doc_id"))
+        .select(
+            "id_a", "id_b",
+            trunc4(
+                F.col("n_inter")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash: per bit position i (1..bits), majority vote over the token
+    multiset of ±1 keyed on the i-th hex digit of md5(token); signature =
+    the assembled integer. Near-dups land within small Hamming distance."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col()).alias("t")
+    ).withColumn("h", F.md5("t"))
+    per_bit = (
+        toks.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("i"),
+            "h",
+        )
+        .withColumn(
+            "contrib",
+            F.when(
+                F.substring(F.col("h"), F.col("i").cast("int"), 1).isin(
+                    *list("89abcdef")
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1, i - 1)")).otherwise(0)
+        ).cast("long").alias("simhash")
+    )

@@ -1,0 +1,110 @@
+"""Text analysis operators: tokenization stats, quality scoring, language
+ID (stopword-hit heuristic), document fingerprinting.
+
+All pure native column expressions (JVM-side, whole-stage codegen) — the
+engines' md5/regexp primitives are identical across Spark and DuckDB, which
+is what makes these oracle-checkable bit-for-bit.
+
+Numeric-portability note: ratios are emitted via floor-truncation
+(floor(x·10⁴)/10⁴) rather than round() — Spark rounds the binary double,
+DuckDB rounds its shortest decimal repr, so round() diverges on half-way
+points; floor of the identical double is exact in both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def trunc4(col: F.Column) -> F.Column:
+    return F.floor(col * F.lit(10000.0)) / F.lit(10000.0)
+
+
+def tokens_col(text_col="text") -> F.Column:
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """doc_id, n_tokens, n_chars, avg_token_len."""
+    toks = tokens_col()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        trunc4(
+            F.length(F.expr("replace(text, ' ', '')")) / F.size(toks)
+        ).alias("avg_token_len"),
+    )
+
+
+STOPWORDS_EN = ["the", "a", "of", "and", "in"]
+
+
+def _hits(markers: list[str]) -> F.Column:
+    return F.size(F.filter(F.col("toks"), lambda t: t.isin(markers)))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Stopword ratio + type-token ratio → composite quality score.
+
+    Mirrors the shape of heuristic quality filters in web-scale corpora:
+    cheap, vectorized, fully expressible without UDFs.
+    """
+    toks = tokens_col()
+    d = docs.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    stop_raw = _hits(STOPWORDS_EN) / n
+    ttr_raw = F.size(F.array_distinct("toks")) / n
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        trunc4(stop_raw).alias("stop_ratio"),
+        trunc4(ttr_raw).alias("type_token_ratio"),
+        trunc4((F.lit(1.0) - stop_raw + ttr_raw) / F.lit(2.0)).alias("quality"),
+    )
+
+
+LANG_MARKERS = {
+    "en": ["the", "a", "of"],
+    "de": ["der", "die", "das"],
+    "fr": ["le", "la", "les"],
+}
+
+
+def lang_guess(docs: DataFrame) -> DataFrame:
+    """n-gram/stopword-hit language ID heuristic: count marker-word hits per
+    language, argmax with deterministic tie order en > de > fr, 'unknown'
+    when all zero."""
+    toks = tokens_col()
+    d = docs.select("doc_id", toks.alias("toks"))
+    hits = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
+    best = (
+        F.when(
+            (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] > 0),
+            F.lit("en"),
+        )
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] > 0), F.lit("de"))
+        .when(hits["fr"] > 0, F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+    return d.select(
+        "doc_id",
+        hits["en"].alias("en_hits"),
+        hits["de"].alias("de_hits"),
+        hits["fr"].alias("fr_hits"),
+        best.alias("lang_guess"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized lowered text
+    (the exact-dedup key); prefix kept as a short locality-friendly hash."""
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.substring(F.md5(norm), 1, 8).alias("fp8"),
+    )

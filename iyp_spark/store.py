@@ -68,8 +68,10 @@ class GraphStore:
 
     # ---------- documents (input) ----------
     def write_documents(self, df: DataFrame) -> None:
+        # bucket within crawler: one file per (crawler, bucket) so the scan
+        # parallelizes beyond the crawler count (input_hint partitioning)
         (
-            df.repartition("crawler")
+            df.repartition(F.col("crawler"), F.pmod(F.xxhash64("doc_id"), F.lit(16)))
             .write.mode("overwrite")
             .partitionBy("crawler")
             .parquet(self.documents_path)
@@ -106,15 +108,23 @@ class GraphStore:
         touched label partitions.
         """
         df = df.select([f.name for f in NODES_SCHEMA.fields])
-        touched = [r["label"] for r in df.select("label").distinct().collect()]
-        existing = self.read_nodes().filter(F.col("label").isin(touched))
-        union = (
-            existing.withColumn("_gen", F.lit(0))
-            .unionByName(df.withColumn("_gen", F.lit(1)))
-            .withColumn(
+        fresh = not _exists(self.nodes_path)
+        if fresh:
+            # fresh store: pure insert — no read-merge, no self-overwrite
+            # hazard, single pass (the common case in the batched build)
+            union = df.withColumn("_gen", F.lit(1)).withColumn(
                 "labels", F.coalesce(F.col("labels"), F.array(F.col("label")))
             )
-        )
+        else:
+            touched = [r["label"] for r in df.select("label").distinct().collect()]
+            existing = self.read_nodes().filter(F.col("label").isin(touched))
+            union = (
+                existing.withColumn("_gen", F.lit(0))
+                .unionByName(df.withColumn("_gen", F.lit(1)))
+                .withColumn(
+                    "labels", F.coalesce(F.col("labels"), F.array(F.col("label")))
+                )
+            )
         base = union.groupBy("label", "key").agg(
             F.first("node_id").alias("node_id"),
             F.array_sort(
@@ -138,18 +148,22 @@ class GraphStore:
             )
         )
         merged = base.join(props, ["label", "key"], "left")
-        # localCheckpoint truncates lineage: we are about to overwrite the
-        # very partitions this plan reads (Iceberg MERGE would not need this)
-        out = merged.select(
-            [f.name for f in NODES_SCHEMA.fields]
-        ).localCheckpoint(eager=True)
-        n = out.count()
+        out = merged.select([f.name for f in NODES_SCHEMA.fields])
+        if not fresh:
+            # localCheckpoint truncates lineage: we are about to overwrite the
+            # very partitions this plan reads (Iceberg MERGE would not need this)
+            out = out.localCheckpoint(eager=True)
+            n = out.count()
+        # bucket within label so hot labels (AS, Prefix) write in parallel
+        out = out.repartition(F.col("label"), F.pmod(F.col("node_id"), F.lit(8)))
         (
-            out.repartition("label")
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .partitionBy("label")
             .parquet(self.nodes_path)
         )
+        if fresh:
+            # count from parquet footers — avoids recomputing the write plan
+            n = self.spark.read.parquet(self.nodes_path).count()
         return n
 
     def enrich_nodes(self, df: DataFrame) -> int:
@@ -199,6 +213,27 @@ class GraphStore:
         )
         return n
 
+    def replace_triples_multi(self, df: DataFrame) -> int:
+        """Multi-crawler variant of replace_triples: one write replaces every
+        reference_name partition present in ``df`` (dynamic overwrite)."""
+        fresh = not _exists(self.triples_path)
+        out = df.withColumn(
+            "reference_name", F.col("reference.reference_name")
+        ).select([f.name for f in TRIPLES_SCHEMA.fields])
+        if not fresh:
+            out = out.localCheckpoint(eager=True)
+            n = out.count()
+        (
+            out.repartition(F.col("reference_name"), F.col("pred"),
+                            F.pmod(F.col("subj_id"), F.lit(16)))
+            .write.mode("overwrite")
+            .partitionBy("reference_name")
+            .parquet(self.triples_path)
+        )
+        if fresh:
+            n = self.spark.read.parquet(self.triples_path).count()
+        return n
+
     def export_golden(self, path: str) -> None:
         """K8: the golden output — ordered triple export
         (replaces neo4j-admin dump, create_db.py:218-247)."""
@@ -218,18 +253,32 @@ class GraphStore:
         self, crawler: str, stage: str, rows: int, seconds: float,
         status: str = "complete", run_id: str | None = None,
     ) -> None:
+        """Lineage rows are driver-side metadata — written with pyarrow
+        directly (a 1-row Spark write job costs seconds of scheduler time;
+        on a cluster this would be an Iceberg metadata/commit record)."""
         import datetime
 
-        row = [
-            (
-                crawler, stage, int(rows), float(seconds), status,
-                run_id or uuid.uuid4().hex[:12],
-                datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None),
-            )
-        ]
-        self.spark.createDataFrame(row, LINEAGE_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(self.lineage_path)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+        rid = run_id or uuid.uuid4().hex[:12]
+        table = pa.table(
+            {
+                "crawler": [crawler],
+                "stage": [stage],
+                "rows": pa.array([int(rows)], pa.int64()),
+                "seconds": pa.array([float(seconds)], pa.float64()),
+                "status": [status],
+                "run_id": [rid],
+                "finished_at": pa.array([now], pa.timestamp("us")),
+            }
+        )
+        os.makedirs(self.lineage_path, exist_ok=True)
+        pq.write_table(
+            table,
+            os.path.join(self.lineage_path, f"{uuid.uuid4().hex}.parquet"),
+        )
 
     def read_lineage(self) -> DataFrame:
         if not _exists(self.lineage_path):

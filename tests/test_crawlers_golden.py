@@ -6,9 +6,21 @@ from __future__ import annotations
 
 import pytest
 
+from iyp_spark.crawlers import CRAWLER_ORDER, REGISTRY
 from iyp_spark.fixtures import GENERATORS
-from iyp_spark.golden import GOLDEN, precision_recall
-from iyp_spark.crawlers import REGISTRY
+from iyp_spark.framework import run_pipeline
+from iyp_spark.golden import GOLDEN, golden_umbrella, precision_recall
+
+SCALE = 0.3
+
+
+@pytest.fixture(scope="module")
+def built(store, corpus):
+    """Run the full ordered pipeline once (order matters: umbrella prefers
+    DomainName nodes created by tranco, mirroring config.json order)."""
+    status = run_pipeline(store, CRAWLER_ORDER)
+    assert all(v == "ok" for v in status.values()), status
+    return status
 
 
 def emitted_triples(store, name) -> set:
@@ -20,14 +32,19 @@ def emitted_triples(store, name) -> set:
     return {tuple(r) for r in rows}
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
-def test_crawler_matches_golden(store, corpus, name):
-    crawler = REGISTRY[name](store)
-    crawler.run()
-    crawler.unit_test()
+def golden_for(name: str) -> set:
+    docs = GENERATORS[name](SCALE)
+    if name == "cisco.umbrella_top1m":
+        existing_domains = {
+            d.record["domain"] for d in GENERATORS["tranco.top1m"](SCALE)
+        }
+        return golden_umbrella(docs, existing_domains, set())
+    return GOLDEN[name](docs)
 
-    docs = GENERATORS[name](0.3)
-    golden = GOLDEN[name](docs)
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_crawler_matches_golden(store, built, name):
+    golden = golden_for(name)
     emitted = emitted_triples(store, name)
 
     p, r = precision_recall(emitted, golden)
@@ -42,9 +59,8 @@ def test_crawler_matches_golden(store, corpus, name):
     )
 
 
-def test_originate_props_carry_entry(store, corpus):
+def test_originate_props_carry_entry(store, built):
     """ORIGINATE props include the source entry fields (ref pfx2asn.py:57)."""
-    REGISTRY["bgpkit.pfx2asn"](store).run()
     row = (
         store.read_triples("bgpkit.pfx2asn").select("props", "subj_key", "obj_key")
         .first()
@@ -53,10 +69,49 @@ def test_originate_props_carry_entry(store, corpus):
     assert row["props"]["prefix"] == row["obj_key"]
 
 
-def test_prefix_nodes_double_labeled(store, corpus):
+def test_prefix_nodes_double_labeled(store, built):
     """BGPPrefix nodes carry the Prefix label too (ref pfx2asn.py:47-49)."""
-    REGISTRY["bgpkit.pfx2asn"](store).run()
-    labels = (
-        store.read_nodes("BGPPrefix").select("labels").first()["labels"]
-    )
+    labels = store.read_nodes("BGPPrefix").select("labels").first()["labels"]
     assert set(labels) >= {"BGPPrefix", "Prefix"}
+
+
+def test_rank_props_have_layer_and_rank(store, built):
+    """Spot-check typed link props survive: asdb layer, tranco rank."""
+    asdb = store.read_triples("stanford.asdb").filter("pred = 'CATEGORIZED'").first()
+    assert asdb["props"]["layer"] in ("1", "2")
+    tranco = store.read_triples("tranco.top1m").first()
+    assert int(tranco["props"]["rank"]) >= 1
+
+
+def test_batched_pipeline_equals_sequential(spark, store, built):
+    """run_pipeline_batched produces the same triple set as the sequential
+    checkpointed path (two waves; umbrella runs after the batch)."""
+    import shutil
+    import tempfile
+
+    from iyp_spark.fixtures import write_corpus
+    from iyp_spark.framework import run_pipeline_batched
+    from iyp_spark.store import GraphStore
+
+    root = tempfile.mkdtemp(prefix="iyp_batched_")
+    try:
+        st2 = GraphStore(spark, root)
+        write_corpus(st2, scale=SCALE)
+        run_pipeline_batched(st2, CRAWLER_ORDER)
+        a = {
+            tuple(r)
+            for r in st2.read_triples()
+            .select("subj_label", "subj_key", "pred", "obj_label", "obj_key",
+                    "reference_name")
+            .collect()
+        }
+        b = {
+            tuple(r)
+            for r in store.read_triples()
+            .select("subj_label", "subj_key", "pred", "obj_label", "obj_key",
+                    "reference_name")
+            .collect()
+        }
+        assert a == b
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
