@@ -15,6 +15,13 @@ from .ihr_hegemony import IhrHegemonyV4, IhrHegemonyV6
 from .bgptools_tags import BgpToolsTags
 from .stanford_asdb import StanfordAsdb
 from .apnic_eyeball import ApnicEyeball
+from .peeringdb_org import PeeringdbOrg
+from .peeringdb_ix import PeeringdbIx
+from .caida_as2org import CaidaAs2Org
+from .nro_delegated import NroDelegatedStats
+from .openintel import OpenIntel
+from .inetintel_as_org import InetIntelAsOrg
+from .pch_routing import PchRoutingV4
 
 CRAWLER_ORDER = [
     PfxToAsn,
@@ -26,7 +33,15 @@ CRAWLER_ORDER = [
     BgpToolsTags,
     StanfordAsdb,
     ApnicEyeball,
-    CiscoUmbrella,  # second wave: prefers existing DomainName/HostName nodes
+    PeeringdbOrg,
+    CaidaAs2Org,
+    OpenIntel,
+    PchRoutingV4,
+    # second wave (NEEDS_EXISTING): read dictionaries/edges from the first
+    CiscoUmbrella,  # prefers existing DomainName/HostName nodes
+    PeeringdbIx,    # resolves orgs through PeeringdbOrgID EXTERNAL_ID edges
+    InetIntelAsOrg,  # org siblings only among pre-existing Organizations
+    NroDelegatedStats,  # links only pre-existing AS nodes (runs last)
 ]
 
 # the subset used for large-scale bench/scaling corpora (fixtures_spark.py)

@@ -79,13 +79,23 @@ class CaidaAsRank(SparkCrawler):
             self.make_nodes(located, "Point", "position"),
             self.make_nodes(ranking, "Ranking", "ranking"),
         ]
+        # one-pass melt: all four predicates from a single parse of the
+        # JSON span (a union of four branches would re-run from_json 4x)
+        melted = ranking.withColumn(
+            "position", F.concat_ws(",", F.col("lon"), F.col("lat"))
+        )
+        named_cond = F.col("name").isNotNull() & (F.col("name") != "")
+        cc_cond = F.col("cc").isNotNull() & (F.col("cc") != "")
+        loc_cond = (
+            F.col("lat").isNotNull() & F.col("lon").isNotNull()
+            & (F.col("lat") != 0.0) & (F.col("lon") != 0.0)
+        )
         triples = [
-            self.make_triples(named, "NAME", "AS", "asn", "Name", "name"),
-            self.make_triples(in_country, "COUNTRY", "AS", "asn", "Country", "cc"),
-            self.make_triples(
-                ranking, "RANK", "AS", "asn", "Ranking", "ranking",
-                props_col=F.col("rank_props"),
-            ),
-            self.make_triples(located, "LOCATED_IN", "AS", "asn", "Point", "position"),
+            self.melt_triples(melted, "AS", "asn", [
+                (named_cond, "NAME", "Name", "name", None),
+                (cc_cond, "COUNTRY", "Country", "cc", None),
+                (None, "RANK", "Ranking", "ranking", F.col("rank_props")),
+                (loc_cond, "LOCATED_IN", "Point", "position", None),
+            ])
         ]
         return nodes, triples

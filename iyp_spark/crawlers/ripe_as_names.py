@@ -68,8 +68,12 @@ class RipeAsNames(SparkCrawler):
             self.make_nodes(mentions, "Name", "name"),
             self.make_nodes(mentions, "Country", "cc"),
         ]
+        # one-pass multi-predicate emission (melt): NAME + COUNTRY from a
+        # single scan instead of two union branches re-running the parse
         triples = [
-            self.make_triples(mentions, "NAME", "AS", "asn", "Name", "name"),
-            self.make_triples(mentions, "COUNTRY", "AS", "asn", "Country", "cc"),
+            self.melt_triples(mentions, "AS", "asn", [
+                (None, "NAME", "Name", "name", None),
+                (None, "COUNTRY", "Country", "cc", None),
+            ])
         ]
         return nodes, triples

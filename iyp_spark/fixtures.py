@@ -409,3 +409,414 @@ GENERATORS.update({
     "stanford.asdb": gen_stanford_asdb,
     "apnic.eyeball": gen_apnic_eyeball,
 })
+
+
+# ---------------------------------------------------------------- batch 3
+
+def _org_pool(rng: random.Random, n: int = 50) -> list[dict]:
+    out = []
+    for i in range(n):
+        out.append({
+            "id": 1000 + i,
+            "name": f"{org_name(rng)} {i}",
+            "website": (f"https://org{i}.example.com" if rng.random() > 0.15 else ""),
+            "country": ("XX" if rng.random() < 0.05 else rng.choice(COUNTRIES).upper()),
+            "latitude": None if rng.random() < 0.3 else round(rng.uniform(-60, 70), 4),
+            "longitude": None if rng.random() < 0.3 else round(rng.uniform(-180, 180), 4),
+            "social_media": (
+                [{"service": "website", "identifier": f"https://smedia{i}.example.com"}]
+                if rng.random() < 0.2 else []
+            ),
+        })
+    return out
+
+
+def peeringdb_orgs() -> list[dict]:
+    return _org_pool(_rng("peeringdb.org"))
+
+
+def gen_peeringdb_org(scale: float = 1.0) -> list[FixtureDoc]:
+    """FIXTURES.md §2.6 — ref iyp/crawlers/peeringdb/org.py:48-131.
+    One document per org record; +1 media span (logo) to exercise
+    interleaving."""
+    name = "peeringdb.org"
+    orgs = peeringdb_orgs()
+    n = min(len(orgs), max(5, int(len(orgs) * scale))) if scale < 1 else len(orgs)
+    docs = []
+    for i, org in enumerate(orgs[:n]):
+        docs.append(FixtureDoc(
+            f"{name}/{i:06d}", name,
+            _spans([
+                ("text", json.dumps(org, sort_keys=True)),
+                ("media", f"blob://orglogo/{org['id']}"),
+            ]),
+            org,
+        ))
+    return docs
+
+
+def _peering_prefix(rng: random.Random, i: int) -> str:
+    if i % 3 == 2:
+        return f"2001:7f8:{i:x}::/64"
+    return f"198.{32 + (i % 128)}.{(i * 4) % 256}.0/24"
+
+
+def peeringdb_nets(rng: random.Random, n: int = 80) -> list[dict]:
+    pool = asn_pool()
+    nets = []
+    for i in range(n):
+        nets.append({
+            "id": 5000 + i,
+            "asn": pool[(i * 7) % len(pool)],
+            "name": f"Net {org_name(rng)} {i}",
+            "website": (f"https://net{i}.example.net" if rng.random() > 0.3 else ""),
+            "org_id": (1000 + (i % 50)) if rng.random() > 0.1 else 9999,  # 10% unknown org
+        })
+    return nets
+
+
+def gen_peeringdb_ix(scale: float = 1.0) -> list[FixtureDoc]:
+    """FIXTURES.md §2.6 — ref iyp/crawlers/peeringdb/ix.py:113-308.
+    Two record kinds in one crawler: 'ix' and 'ixlan' documents
+    (span 0 = kind tag, span 1 = JSON record)."""
+    name = "peeringdb.ix"
+    rng = _rng(name)
+    nets = peeringdb_nets(rng)
+    n_ix = max(6, int(30 * min(scale, 1.0))) if scale <= 1 else 30
+    n_lan = max(8, int(40 * min(scale, 1.0))) if scale <= 1 else 40
+    ixlans = []
+    for i in range(n_lan):
+        k = rng.randint(0, 5)
+        ixlans.append({
+            "id": 300 + i,
+            "ixpfx_set": [
+                {"prefix": ("999.1.2.0/24" if rng.random() < 0.03
+                            else _peering_prefix(rng, i * 2 + j))}
+                for j in range(rng.randint(1, 2))
+            ],
+            "net_set": rng.sample(nets, k) if k else [],
+        })
+    docs = []
+    seq = 0
+    for i in range(n_ix):
+        ix = {
+            "id": 100 + i,
+            "name": f"IX-{COUNTRIES[i % len(COUNTRIES)].upper()}-{i}",
+            "org_id": (1000 + (i % 50)) if rng.random() > 0.1 else 9999,
+            "country": "" if rng.random() < 0.1 else rng.choice(COUNTRIES).upper(),
+            "website": (f"https://ix{i}.example.org" if rng.random() > 0.2 else ""),
+            "fac_set": [{"id": 700 + i}],
+            # ~2% dangling ixlan references (ref ix.py:203-206 error-log skip)
+            "ixlan_set": [
+                {"id": (300 + rng.randrange(n_lan)) if rng.random() > 0.02 else 9999}
+                for _ in range(rng.randint(1, 2))
+            ],
+        }
+        docs.append(FixtureDoc(f"{name}/{seq:06d}", name,
+                               _spans([("text", "ix"),
+                                       ("text", json.dumps(ix, sort_keys=True))]), ix))
+        seq += 1
+    for lan in ixlans:
+        docs.append(FixtureDoc(f"{name}/{seq:06d}", name,
+                               _spans([("text", "ixlan"),
+                                       ("text", json.dumps(lan, sort_keys=True))]),
+                               lan))
+        seq += 1
+    return docs
+
+
+def gen_caida_as2org(scale: float = 1.0) -> list[FixtureDoc]:
+    """FIXTURES.md §2.7 — ref iyp/crawlers/caida/as2org.py:76-163.
+    One document per line; org lines have 5 pipe fields, AS lines 6
+    (the reference switches mode on header comment lines; field count is
+    the stateless equivalent). Includes @del org ids and same-name orgs
+    with different ids/countries."""
+    name = "caida.as2org"
+    rng = _rng(name)
+    pool = asn_pool()
+    n_orgs = max(10, int(40 * min(scale, 1.0)))
+    orgs = []
+    for i in range(n_orgs):
+        if i % 7 == 3 and i > 0:
+            org_nm = orgs[i - 1]["name"]  # same name, different id/country
+        else:
+            org_nm = f"{org_name(rng)} #{i}"
+        orgs.append({
+            "org_id": (f"@del-{i}" if rng.random() < 0.05 else f"ORG-{i}-CA"),
+            "name": org_nm,
+            "country": rng.choice(COUNTRIES).upper(),
+        })
+    docs = []
+    seq = 0
+    for o in orgs:
+        line = f"{o['org_id']}|20250101|{o['name']}|{o['country']}|CAIDA"
+        docs.append(FixtureDoc(f"{name}/{seq:06d}", name,
+                               _spans([("text", line)]),
+                               {"kind": "org", **o}))
+        seq += 1
+    n_as = int(300 * scale)
+    for i in range(n_as):
+        asn = rng.choice(pool)
+        o = rng.choice(orgs)
+        line = f"{asn}|20250101|AS{asn}-NAME|{o['org_id']}|opq-{i}|CAIDA"
+        docs.append(FixtureDoc(f"{name}/{seq:06d}", name,
+                               _spans([("text", line)]),
+                               {"kind": "as", "asn": asn, "org_id": o["org_id"]}))
+        seq += 1
+    return docs
+
+
+def gen_nro_delegated(scale: float = 1.0) -> list[FixtureDoc]:
+    """FIXTURES.md §2.5 — ref iyp/crawlers/nro/delegated_stats.py:77-197.
+    Pipe lines; asn records link only pre-existing ASNs; ipv4 ranges may
+    need CIDR decomposition; comment/version/summary lines included."""
+    name = "nro.delegated_stats"
+    rng = _rng(name)
+    pool = asn_pool()
+    docs = []
+    seq = 0
+
+    def emit(line, rec):
+        nonlocal seq
+        docs.append(FixtureDoc(f"{name}/{seq:06d}", name,
+                               _spans([("text", line)]), rec))
+        seq += 1
+
+    emit("# delegated-extended file", {"kind": "comment"})
+    emit("2.3|nro|20260101|123|19830705|20260101|+0000", {"kind": "version"})
+    emit("nro|*|asn|*|42|summary", {"kind": "summary"})
+    n = int(400 * scale)
+    for i in range(n):
+        registry = rng.choice(["apnic", "ripencc", "arin", "afrinic", "lacnic"])
+        cc = rng.choice(COUNTRIES).upper()
+        status = rng.choice(["assigned", "allocated", "available", "reserved"])
+        opaque = f"opq-{rng.randrange(60)}"
+        kind = rng.choice(["asn", "asn", "ipv4", "ipv4", "ipv6"])
+        if kind == "asn":
+            if rng.random() < 0.25:
+                start = rng.choice(pool)
+                value = rng.choice([2, 5, 50, 1000])  # AS range (J6 overlap join)
+            elif rng.random() < 0.85:
+                start, value = rng.choice(pool), 1
+            else:
+                start, value = 900000 + i, 1  # not in IYP → no link
+            line = f"{registry}|{cc}|asn|{start}|{value}|20250101|{status}|{opaque}"
+        elif kind == "ipv4":
+            a, b = rng.randint(11, 180), rng.randint(0, 255)
+            if rng.random() < 0.3:
+                start, value = f"{a}.{b}.0.0", rng.choice([3000, 7000, 12288])  # decompose
+            else:
+                start, value = f"{a}.{b}.0.0", rng.choice([256, 1024, 65536])  # aligned
+            line = f"{registry}|{cc}|ipv4|{start}|{value}|20250101|{status}|{opaque}"
+        else:
+            h = rng.randint(0, 0xFFF)
+            start, value = f"2001:db{h % 10}:{h:x}::", rng.choice([32, 48])
+            line = f"{registry}|{cc}|ipv6|{start}|{value}|20250101|{status}|{opaque}"
+        emit(line, {"kind": kind, "registry": registry, "cc": cc,
+                    "start": str(start), "value": value, "status": status.upper(),
+                    "opaque": opaque})
+    return docs
+
+
+GENERATORS.update({
+    "peeringdb.org": gen_peeringdb_org,
+    "peeringdb.ix": gen_peeringdb_ix,
+    "caida.as2org": gen_caida_as2org,
+    "nro.delegated_stats": gen_nro_delegated,
+})
+
+
+# ---------------------------------------------------------------- batch 4
+
+def gen_inetintel_as_org(scale: float = 1.0) -> list[FixtureDoc]:
+    """FIXTURES.md §2.14 — ref iyp/crawlers/inetintel/as_org.py:46-119.
+    One document per ASN entry; multi-ASN org groups; PDB.Org references
+    peeringdb org names (some unknown)."""
+    name = "inetintel.as_org"
+    rng = _rng(name)
+    pool = asn_pool()
+    pdb_names = [o["name"].strip() for o in peeringdb_orgs()]
+    n_groups = max(8, int(40 * min(scale, 1.0)))
+    docs = []
+    seq = 0
+    used = set()
+    for g in range(n_groups):
+        k = rng.choice([1, 1, 2, 2, 3, 5])
+        members = [a for a in rng.sample(pool, k) if a not in used][: max(1, k)]
+        used.update(members)
+        org_id = f"II-ORG-{g}"
+        pdb = rng.choice(pdb_names) if rng.random() < 0.6 else f"Unknown Org {g}"
+        for asn in members:
+            r = rng.random()
+            if r < 0.25:
+                website = f"https://www.oidom{g % 6}.net/as{asn}"  # known host
+            elif r < 0.5:
+                website = f"https://as{asn}.example.com"
+            else:
+                website = ""
+            rec = {"OrgID": org_id, "PDB.Org": pdb, "Website": website}
+            docs.append(FixtureDoc(
+                f"{name}/{seq:06d}", name,
+                _spans([("text", str(asn)), ("text", json.dumps(rec, sort_keys=True))]),
+                {"asn": asn, **rec},
+            ))
+            seq += 1
+    return docs
+
+
+def gen_openintel(scale: float = 1.0) -> list[FixtureDoc]:
+    """FIXTURES.md §2.9 — ref iyp/crawlers/openintel/__init__.py:253-443.
+    DNS measurement rows with trailing root dots, non-compressed IPv6,
+    2-link CNAME chains, NS records, apex hosts (host name == domain name),
+    and exact duplicate rows."""
+    name = "openintel.tranco1m"
+    rng = _rng(name)
+    n_dom = max(6, int(30 * min(scale, 1.0)))
+    docs = []
+    seq = 0
+    # v4 addresses drawn INSIDE pfx2asn pool prefixes so the ip2prefix
+    # post-processor has real LPM work (FIXTURES.md §4)
+    import ipaddress as _ip
+    v4nets = []
+    for p in prefix_pool():
+        if "." not in p:
+            continue
+        try:
+            v4nets.append(_ip.ip_network(p))  # skip host-bit-set pool entries
+        except ValueError:
+            continue
+        if len(v4nets) >= 8:
+            break
+
+    def _ip_in(i, off):
+        net = v4nets[i % len(v4nets)]
+        return str(net.network_address + 1 + (off % max(net.num_addresses - 2, 1)))
+
+    def emit(qt, qn, rt, rn, ip4=None, ip6=None, ns=None, cname=None):
+        nonlocal seq
+        rec = {"query_type": qt, "query_name": qn, "response_type": rt,
+               "response_name": rn, "ip4_address": ip4, "ip6_address": ip6,
+               "ns_address": ns, "cname_name": cname}
+        docs.append(FixtureDoc(f"{name}/{seq:06d}", name,
+                               _spans([("text", json.dumps(rec, sort_keys=True))]),
+                               rec))
+        seq += 1
+
+    for i in range(n_dom):
+        dom = f"oidom{i}.net"
+        # NS record (domain managed by nameserver)
+        emit("NS", f"{dom}.", "NS", f"{dom}.", ns=f"ns{i % 4}.oidom0.net.")
+        # apex A record: host name == domain name → PART_OF via intersection
+        if i % 3 == 0:
+            emit("A", f"{dom}.", "A", f"{dom}.", ip4=_ip_in(i, 1))
+        # direct A on a subdomain host
+        emit("A", f"www.{dom}.", "A", f"www.{dom}.", ip4=_ip_in(i, 10))
+        # duplicate row (drop_duplicates, ref :276)
+        if i % 5 == 0:
+            emit("A", f"www.{dom}.", "A", f"www.{dom}.", ip4=_ip_in(i, 10))
+        # AAAA with non-compressed IPv6
+        if i % 2 == 0:
+            emit("AAAA", f"v6.{dom}.", "AAAA", f"v6.{dom}.",
+                 ip6=f"2001:0DB8:00{i % 9}0::0001")
+        # 2-link CNAME chain: cdn.dom → edge.dom → target.oidom0.net → A
+        if i % 4 == 1:
+            h0, h1, h2 = f"cdn.{dom}", f"edge.{dom}", "target.oidom0.net"
+            emit("A", f"{h0}.", "CNAME", f"{h0}.", cname=f"{h1}.")
+            emit("A", f"{h0}.", "CNAME", f"{h1}.", cname=f"{h2}.")
+            emit("A", f"{h0}.", "A", f"{h2}.", ip4=f"203.0.99.{i % 250}")
+        # an NS query answered by CNAME (ignored for aliases, ref :328-330)
+        if i % 6 == 2:
+            emit("NS", f"{dom}.", "CNAME", f"{dom}.", cname=f"alias.{dom}.")
+        # unresolvable CNAME chain (no A record → no RESOLVES_TO)
+        if i % 7 == 3:
+            emit("A", f"dead.{dom}.", "CNAME", f"dead.{dom}.", cname=f"gone.{dom}.")
+    return docs
+
+
+GENERATORS.update({
+    "inetintel.as_org": gen_inetintel_as_org,
+    "openintel.tranco1m": gen_openintel,
+})
+
+
+def gen_pch_routing(scale: float = 1.0) -> list[FixtureDoc]:
+    """FIXTURES.md §2.13 — ref pch/__init__.py:203-251, show_bgp_parser.py.
+    One document per collector: span 0 = collector name, span 1 = the full
+    'show ip bgp' text, span 2 = media blob ref. The record carries the
+    generator's INTENT (expected (prefix, asn) pairs), so the golden is
+    independent of any parser implementation."""
+    name = "pch.daily_routing_snapshots_v4"
+    rng = _rng(name)
+    pool = asn_pool()
+    n_collectors = max(4, int(12 * min(scale, 2.0)))
+    n_routes = max(10, int(40 * scale))
+    docs = []
+    for c in range(n_collectors):
+        collector = f"route-collector.{COUNTRIES[c % len(COUNTRIES)]}{c}.pch.net"
+        lines = [
+            f"BGP table version is {1000 + c}, local router ID is 198.51.100.{c}",
+            "Status codes: s suppressed, d damped, h history, * valid, > best",
+            "Origin codes: i - IGP, e - EGP, ? - incomplete",
+            "",
+            "   Network          Next Hop            Metric LocPrf Weight Path",
+        ]
+        expected = set()
+        last_pfx = None
+        for r in range(n_routes):
+            a, b = rng.randint(11, 200), rng.randint(0, 255)
+            origin = rng.choice(pool)
+            path = " ".join(str(x) for x in rng.sample(pool, rng.randint(1, 3)) + [origin])
+            kind = rng.random()
+            if kind < 0.10:
+                # non-valid status → skipped
+                lines.append(f"s  {a}.{b}.0.0/16 192.0.2.1 0 100 {path} i")
+                last_pfx = f"{a}.{b}.0.0/16"
+            elif kind < 0.18:
+                # incomplete origin → skipped
+                lines.append(f"*> {a}.{b}.0.0/16 192.0.2.1 0 100 {path} ?")
+                last_pfx = f"{a}.{b}.0.0/16"
+            elif kind < 0.25:
+                # AS-set origin → skipped
+                s1, s2 = rng.sample(pool, 2)
+                lines.append(f"*> {a}.{b}.0.0/16 192.0.2.1 0 100 {path} {{{s1},{s2}}} i".replace(f"{path} ", ""))
+                last_pfx = f"{a}.{b}.0.0/16"
+            elif kind < 0.40 and last_pfx is not None:
+                # inherited prefix (no network field)
+                lines.append(f"*  192.0.2.{r % 250} 0 100 {path} i")
+                expected.add((last_pfx, origin))
+            elif kind < 0.50:
+                # classful line without mask (aligned address)
+                first = rng.choice([10, 150, 200])
+                plen = 8 if first < 128 else (16 if first < 192 else 24)
+                net = (f"{first}.0.0.0" if plen == 8
+                       else f"{first}.{b}.0.0" if plen == 16
+                       else f"{first}.{b}.{a % 250}.0")
+                lines.append(f"*> {net} 192.0.2.1 0 100 {path} i")
+                last_pfx = f"{net}/{plen}"
+                expected.add((f"{net}/{plen}", origin))
+            elif kind < 0.62:
+                # wrapped line: network alone, rest on the next line
+                pfx = f"{a}.{b}.0.0/16"
+                lines.append(f"*> {pfx}")
+                lines.append(f"                 192.0.2.{r % 250} 0 100 {path} i")
+                last_pfx = pfx
+                expected.add((pfx, origin))
+            else:
+                pfx = f"{a}.{b}.0.0/16"
+                lines.append(f"*> {pfx} 192.0.2.{r % 250} 0 100 {path} i")
+                last_pfx = pfx
+                expected.add((pfx, origin))
+        lines.append("")
+        lines.append(f"Total number of prefixes {n_routes}")
+        text = "\n".join(lines)
+        docs.append(FixtureDoc(
+            f"{name}/{c:06d}", name,
+            _spans([("text", collector), ("text", text),
+                    ("media", f"blob://snapshot/{collector}")]),
+            {"collector": collector,
+             "expected": sorted(expected)},
+        ))
+    return docs
+
+
+GENERATORS["pch.daily_routing_snapshots_v4"] = gen_pch_routing

@@ -104,19 +104,22 @@ class SparkCrawler:
         )
 
     def make_triples(
-        self, df: DataFrame, pred: str,
+        self, df: DataFrame, pred: str | F.Column,
         subj_label: str, subj_key: str, obj_label: str, obj_key: str,
         props_col: F.Column | None = None,
     ) -> DataFrame:
         """Triple rows from a mention DataFrame (K5), endpoints id-linked
-        via deterministic hashes (J1 without the shuffle)."""
+        via deterministic hashes (J1 without the shuffle). ``pred`` may be a
+        Column for data-driven predicates (nro status edges,
+        nro/delegated_stats.py:189-196)."""
         sk = F.col(subj_key).cast("string")
         ok = F.col(obj_key).cast("string")
+        pred_col = F.lit(pred) if isinstance(pred, str) else pred
         return (
             df.filter(sk.isNotNull() & ok.isNotNull())
             .select(
                 node_id(subj_label, sk).alias("subj_id"),
-                F.lit(pred).alias("pred"),
+                pred_col.alias("pred"),
                 node_id(obj_label, ok).alias("obj_id"),
                 F.lit(subj_label).alias("subj_label"),
                 sk.alias("subj_key"),
@@ -129,6 +132,46 @@ class SparkCrawler:
                 ).alias("props"),
                 self.reference_col().alias("reference"),
             )
+        )
+
+    def melt_triples(
+        self, df: DataFrame, subj_label: str, subj_key: str,
+        specs: list[tuple[F.Column | None, str, str, str, F.Column | None]],
+    ) -> DataFrame:
+        """Multi-predicate emission in ONE pass over the mentions: build an
+        array of candidate triple structs (null when the spec's condition
+        fails) and explode it. A union of k make_triples branches evaluates
+        the parse k times; this evaluates it once — the difference between
+        k scans and 1 scan of the document table at scale.
+
+        specs: (condition | None, pred, obj_label, obj_key_col, props | None).
+        """
+        null_props = F.lit(None).cast("map<string,string>")
+        cands = []
+        for cond, pred, obj_label, obj_key, props in specs:
+            entry = F.struct(
+                F.lit(pred).alias("pred"),
+                F.lit(obj_label).alias("obj_label"),
+                F.col(obj_key).cast("string").alias("obj_key"),
+                (props if props is not None else null_props).alias("props"),
+            )
+            cands.append(entry if cond is None else F.when(cond, entry))
+        sk = F.col(subj_key).cast("string")
+        exploded = (
+            df.filter(sk.isNotNull())
+            .select(sk.alias("subj_key"), F.explode(F.array(*cands)).alias("t"))
+            .filter(F.col("t").isNotNull() & F.col("t.obj_key").isNotNull())
+        )
+        return exploded.select(
+            node_id(subj_label, F.col("subj_key")).alias("subj_id"),
+            F.col("t.pred").alias("pred"),
+            F.xxhash64(F.col("t.obj_label"), F.col("t.obj_key")).alias("obj_id"),
+            F.lit(subj_label).alias("subj_label"),
+            "subj_key",
+            F.col("t.obj_label").alias("obj_label"),
+            F.col("t.obj_key").alias("obj_key"),
+            F.col("t.props").alias("props"),
+            self.reference_col().alias("reference"),
         )
 
     def existing_keys(self, label: str) -> DataFrame:
@@ -187,7 +230,57 @@ class SparkCrawler:
             raise RelationCountError(f"{self.NAME}: no triples for {missing}")
 
 
-def run_pipeline_batched(store: GraphStore, crawlers: list[type[SparkCrawler]]) -> dict:
+# subtype labels applied when deriving the node dictionary from triple
+# endpoints (nodes_from_triples mode): primary label → extra labels
+SUBTYPE_LABELS = {
+    "BGPPrefix": ["Prefix"],
+    "RIRPrefix": ["Prefix"],
+    "GeoPrefix": ["Prefix"],
+    "PeeringLAN": ["Prefix"],
+}
+
+
+def derive_nodes_from_triples(store: GraphStore, count_rows: bool = True) -> int:
+    """Build the node dictionary from the endpoints of the materialized
+    triples table: every node that participates in an edge, with subtype
+    labels applied by rule. One columnar scan of the fact table — no second
+    parse pass and no executor-memory caching (the scale path used by the
+    throughput bench; exact per-crawler node props go through the
+    sequential path)."""
+    spark = store.spark
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    # the endpoint dedup is small relative to the fact table — fewer shuffle
+    # partitions means fewer tiny tasks and output files for this one job
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    t = store.read_triples()
+    subj = t.select(F.col("subj_label").alias("label"), F.col("subj_key").alias("key"))
+    obj = t.select(F.col("obj_label").alias("label"), F.col("obj_key").alias("key"))
+    extra = F.coalesce(
+        *[
+            F.when(F.col("label") == lab, F.array(*[F.lit(x) for x in xs]))
+            for lab, xs in SUBTYPE_LABELS.items()
+        ],
+        F.array().cast("array<string>"),
+    )
+    nodes = (
+        subj.unionByName(obj)
+        .dropDuplicates(["label", "key"])
+        .select(
+            "label", "key",
+            F.xxhash64("label", "key").alias("node_id"),
+            F.concat(F.array(F.col("label")), extra).alias("labels"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        )
+    )
+    try:
+        return store.upsert_nodes(nodes, count_rows=count_rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
+def run_pipeline_batched(store: GraphStore, crawlers: list[type[SparkCrawler]],
+                         count_rows: bool = True,
+                         nodes_from_triples: bool = False) -> dict:
     """Throughput path: run every crawler's transform lazily, union all node
     and triple outputs, and materialize with ONE dictionary merge and ONE
     partitioned triples write — collapsing per-crawler job overhead into a
@@ -198,25 +291,52 @@ def run_pipeline_batched(store: GraphStore, crawlers: list[type[SparkCrawler]]) 
     # first wave's output on disk — run them per-crawler after the batch
     wave1 = [c for c in crawlers if not getattr(c, "NEEDS_EXISTING", False)]
     wave2 = [c for c in crawlers if getattr(c, "NEEDS_EXISTING", False)]
+    all_docs = store.read_documents()  # one listing, filtered per crawler
     all_nodes = None
     all_triples = None
+    per_crawler_triples = {}
     names = []
     for cls in wave1:
         crawler = cls(store)
-        crawler.cache_mentions = True
+        # nodes_from_triples mode runs ONE parse pass (the triples write) and
+        # reconstructs the dictionary from endpoints — no executor-memory
+        # persist, no recompute; otherwise persist shares the parse between
+        # the node and triple subtrees
+        crawler.cache_mentions = not nodes_from_triples
         names.append(crawler.NAME)
-        docs = store.read_documents(crawler=crawler.NAME)
-        node_dfs, triple_dfs = crawler.transform(docs)
-        for nd in node_dfs:
-            all_nodes = nd if all_nodes is None else all_nodes.unionByName(nd)
+        node_dfs, triple_dfs = crawler.transform(
+            all_docs.filter(F.col("crawler") == crawler.NAME)
+        )
+        if not nodes_from_triples:
+            for nd in node_dfs:
+                all_nodes = nd if all_nodes is None else all_nodes.unionByName(nd)
+        ct = None
         for td in triple_dfs:
             all_triples = td if all_triples is None else all_triples.unionByName(td)
+            ct = td if ct is None else ct.unionByName(td)
+        per_crawler_triples[crawler.NAME] = ct
     import time as _time
 
     run_id = uuid.uuid4().hex[:12]
     t0 = _time.time()
-    n_nodes = store.upsert_nodes(all_nodes)
-    n_triples = store.replace_triples_multi(all_triples)
+    if nodes_from_triples:
+        # one write job per crawler partition, submitted from concurrent
+        # driver threads: query planning/codegen (driver-serial otherwise)
+        # overlaps executor compute, and each job only writes its own
+        # reference_name partition (concurrent-safe: per-job staging dirs)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_one(item):
+            name, df = item
+            return store.replace_triples(name, df, count_rows=count_rows)
+
+        with ThreadPoolExecutor(max_workers=min(4, len(per_crawler_triples))) as ex:
+            counts = list(ex.map(_write_one, per_crawler_triples.items()))
+        n_triples = sum(counts) if count_rows else -1
+        n_nodes = derive_nodes_from_triples(store, count_rows=count_rows)
+    else:
+        n_nodes = store.upsert_nodes(all_nodes, count_rows=count_rows)
+        n_triples = store.replace_triples_multi(all_triples, count_rows=count_rows)
     dt = _time.time() - t0
     store.spark.catalog.clearCache()  # drop persisted mention sets
     for name in names:

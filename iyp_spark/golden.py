@@ -199,3 +199,281 @@ GOLDEN.update({
 })
 # cisco.umbrella_top1m needs pipeline context (existing dictionaries) — the
 # test harness calls golden_umbrella explicitly with the tranco domain set.
+
+
+# ---------------------------------------------------------------- batch 3
+
+import ipaddress as _ipaddr
+import math as _math
+
+# ISO 3166-1 alpha-2 assigned codes (public standard; stands in for the
+# reference's iso3166 package, peeringdb/org.py:74)
+ISO3166_ALPHA2 = set("""
+AD AE AF AG AI AL AM AO AQ AR AS AT AU AW AX AZ BA BB BD BE BF BG BH BI BJ BL
+BM BN BO BQ BR BS BT BV BW BY BZ CA CC CD CF CG CH CI CK CL CM CN CO CR CU CV
+CW CX CY CZ DE DJ DK DM DO DZ EC EE EG EH ER ES ET FI FJ FK FM FO FR GA GB GD
+GE GF GG GH GI GL GM GN GP GQ GR GS GT GU GW GY HK HM HN HR HT HU ID IE IL IM
+IN IO IQ IR IS IT JE JM JO JP KE KG KH KI KM KN KP KR KW KY KZ LA LB LC LI LK
+LR LS LT LU LV LY MA MC MD ME MF MG MH MK ML MM MN MO MP MQ MR MS MT MU MV MW
+MX MY MZ NA NC NE NF NG NI NL NO NP NR NU NZ OM PA PE PF PG PH PK PL PM PN PR
+PS PT PW PY QA RE RO RS RU RW SA SB SC SD SE SG SH SI SJ SK SL SM SN SO SR SS
+ST SV SX SY SZ TC TD TF TG TH TJ TK TL TM TN TO TR TT TV TW TZ UA UG UM US UY
+UZ VA VC VE VG VI VN VU WF WS YE YT ZA ZM ZW
+""".split())
+
+
+def golden_peeringdb_org(docs: list[FixtureDoc]) -> set[Triple]:
+    """ref peeringdb/org.py:48-131."""
+    out = set()
+    for d in docs:
+        org = d.record
+        nm = org["name"].strip()
+        out.add(_t("Organization", nm, "NAME", "Name", nm))
+        out.add(_t("Organization", nm, "EXTERNAL_ID", "PeeringdbOrgID", org["id"]))
+        if org["website"]:
+            out.add(_t("Organization", nm, "WEBSITE", "URL", org["website"].strip()))
+        if org["country"] in ISO3166_ALPHA2:
+            out.add(_t("Organization", nm, "COUNTRY", "Country", org["country"]))
+        if org["latitude"] and org["longitude"]:
+            out.add(_t("Organization", nm, "LOCATED_IN", "Point",
+                       f"{org['longitude']},{org['latitude']}"))
+    return out
+
+
+def golden_peeringdb_ix(docs: list[FixtureDoc], org_extid_to_name: dict) -> set[Triple]:
+    """ref peeringdb/ix.py:113-308 (register_ixs + register_ix_membership);
+    facilities are absent from the graph, so no ix LOCATED_IN links."""
+    ixs = [d.record for d in docs if "ixlan_set" in d.record]
+    lans = {d.record["id"]: d.record for d in docs if "ixpfx_set" in d.record}
+    out = set()
+    for ix in ixs:
+        nm = ix["name"]
+        out.add(_t("IXP", nm, "EXTERNAL_ID", "PeeringdbIXID", ix["id"]))
+        out.add(_t("IXP", nm, "NAME", "Name", nm))
+        if ix["org_id"] in org_extid_to_name:
+            out.add(_t("IXP", nm, "MANAGED_BY", "Organization",
+                       org_extid_to_name[ix["org_id"]]))
+        if ix["country"]:
+            out.add(_t("IXP", nm, "COUNTRY", "Country", ix["country"]))
+        if ix["website"]:
+            out.add(_t("IXP", nm, "WEBSITE", "URL", ix["website"]))
+    for ix in ixs:
+        nm = ix["name"]
+        for lanref in ix.get("ixlan_set", []):
+            if lanref["id"] not in lans:
+                continue  # dangling ref skipped (:203-206)
+            lan = lans[lanref["id"]]
+            for pfx in lan["ixpfx_set"]:
+                try:
+                    prefix = _ipaddr.ip_network(pfx["prefix"]).compressed
+                except ValueError:
+                    continue
+                out.add(_t("PeeringLAN", prefix, "MANAGED_BY", "IXP", nm))
+            for net in lan["net_set"]:
+                asn = int(net["asn"])
+                out.add(_t("AS", asn, "NAME", "Name", net["name"]))
+                out.add(_t("AS", asn, "EXTERNAL_ID", "PeeringdbNetID", net["id"]))
+                if net["website"]:
+                    out.add(_t("AS", asn, "WEBSITE", "URL", net["website"]))
+                if net["org_id"] in org_extid_to_name:
+                    out.add(_t("AS", asn, "MANAGED_BY", "Organization",
+                               org_extid_to_name[net["org_id"]]))
+                out.add(_t("AS", asn, "MEMBER_OF", "IXP", nm))
+    return out
+
+
+def golden_caida_as2org(docs: list[FixtureDoc]) -> set[Triple]:
+    """ref caida/as2org.py:76-163: @del orgs skipped; asn→org_id dict
+    (last write wins); Organization keyed by NAME."""
+    orgid_name = {}
+    name_countries = {}
+    asn_orgid = {}
+    for d in docs:
+        r = d.record
+        if r["kind"] == "org":
+            if r["org_id"].startswith("@del"):
+                continue
+            orgid_name[r["org_id"]] = r["name"]
+            name_countries.setdefault(r["name"], set()).add(r["country"])
+        else:
+            if r["org_id"].startswith("@del"):
+                continue
+            asn_orgid[r["asn"]] = r["org_id"]
+    out = set()
+    for asn, org_id in asn_orgid.items():
+        out.add(_t("AS", asn, "MANAGED_BY", "Organization", orgid_name[org_id]))
+    for org_id, nm in orgid_name.items():
+        out.add(_t("Organization", nm, "NAME", "Name", nm))
+        out.add(_t("Organization", nm, "EXTERNAL_ID", "CaidaOrgID", org_id))
+    for nm, ccs in name_countries.items():
+        for cc in ccs:
+            out.add(_t("Organization", nm, "COUNTRY", "Country", cc))
+    return out
+
+
+def golden_nro_delegated(docs: list[FixtureDoc], existing_asns: set[int]) -> set[Triple]:
+    """ref nro/delegated_stats.py:77-197: asn records link only existing
+    ASNs (range overlap for value>1); ipv4 decomposed to CIDRs when not
+    aligned; dynamic status predicate to OpaqueID."""
+    existing_sorted = sorted(existing_asns)
+    out = set()
+    for d in docs:
+        r = d.record
+        if r["kind"] == "asn":
+            start, value = int(r["start"]), r["value"]
+            if value == 1 and start in existing_asns:
+                linked = [start]
+            elif value > 1:
+                linked = [a for a in existing_sorted if start <= a <= start + value - 1]
+            else:
+                linked = []
+            for a in linked:
+                out.add(_t("AS", a, "COUNTRY", "Country", r["cc"]))
+                out.add(_t("AS", a, r["status"], "OpaqueID", r["opaque"]))
+        elif r["kind"] in ("ipv4", "ipv6"):
+            if r["kind"] == "ipv4":
+                plen = 32 - _math.log2(r["value"])
+                needs = not plen.is_integer()
+                if not needs:
+                    try:
+                        _ipaddr.IPv4Network(f"{r['start']}/{int(plen)}")
+                        prefixes = [f"{r['start']}/{int(plen)}"]
+                    except ValueError:
+                        needs = True
+                if needs:
+                    first = _ipaddr.IPv4Address(r["start"])
+                    last = first + r["value"] - 1
+                    prefixes = [
+                        str(n) for n in _ipaddr.summarize_address_range(first, last)
+                    ]
+            else:
+                prefixes = [f"{r['start']}/{r['value']}"]
+            for p in prefixes:
+                out.add(_t("RIRPrefix", p, "COUNTRY", "Country", r["cc"]))
+                out.add(_t("RIRPrefix", p, r["status"], "OpaqueID", r["opaque"]))
+    return out
+
+
+GOLDEN.update({
+    "peeringdb.org": golden_peeringdb_org,
+    "caida.as2org": golden_caida_as2org,
+})
+# peeringdb.ix and nro.delegated_stats need pipeline context — the test
+# harness passes the org extid map / existing-ASN set explicitly.
+
+
+# ---------------------------------------------------------------- batch 4
+
+def golden_inetintel(docs: list[FixtureDoc], existing_orgs: set[str]) -> set[Triple]:
+    """ref inetintel/as_org.py:46-119: unordered ASN pairs per OrgID (emitted
+    sorted — SIBLING_OF is symmetric), org pairs only among pre-existing
+    Organizations, WEBSITE when truthy."""
+    from collections import defaultdict
+
+    as_sib = defaultdict(set)
+    org_sib = defaultdict(set)
+    out = set()
+    for d in docs:
+        r = d.record
+        as_sib[r["OrgID"]].add(r["asn"])
+        if r["PDB.Org"] in existing_orgs:
+            org_sib[r["OrgID"]].add(r["PDB.Org"])
+        if r["Website"]:
+            out.add(_t("AS", r["asn"], "WEBSITE", "URL", r["Website"]))
+    for group in as_sib.values():
+        mem = sorted(group)
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                out.add(_t("AS", mem[i], "SIBLING_OF", "AS", mem[j]))
+    for group in org_sib.values():
+        mem = sorted(group)
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                out.add(_t("Organization", mem[i], "SIBLING_OF",
+                           "Organization", mem[j]))
+    return out
+
+
+def golden_openintel(docs: list[FixtureDoc]) -> set[Triple]:
+    """ref openintel/__init__.py:253-443 — filter, root-dot strip, CNAME
+    chain walk, RESOLVES_TO/MANAGED_BY/ALIAS_OF/PART_OF."""
+    rows = []
+    seen = set()
+    for d in docs:
+        r = d.record
+        key = tuple(r.get(k) for k in ["query_type", "query_name", "response_type",
+                                       "response_name", "ip4_address", "ip6_address",
+                                       "ns_address", "cname_name"])
+        if key in seen:
+            continue  # drop_duplicates (:276)
+        seen.add(key)
+        if r["query_type"] not in ("A", "AAAA", "NS"):
+            continue
+        if r["response_type"] not in ("A", "AAAA", "NS", "CNAME"):
+            continue
+        if not any([r["ip4_address"], r["ip6_address"], r["ns_address"],
+                    r["cname_name"]]):
+            continue
+        rows.append({
+            "qt": r["query_type"],
+            "qn": r["query_name"][:-1],
+            "rt": r["response_type"],
+            "rn": r["response_name"][:-1],
+            "ip4": r["ip4_address"],
+            "ip6": r["ip6_address"],
+            "ns": r["ns_address"][:-1] if r["ns_address"] else None,
+            "cname": r["cname_name"][:-1] if r["cname_name"] else None,
+        })
+    domain_names = {r["rn"] for r in rows if r["rt"] == "NS"}
+    host_names = {r["rn"] for r in rows if r["rt"] in ("A", "AAAA")}
+    cnames: dict[tuple, dict] = {}
+    for r in rows:
+        if r["qt"] in ("A", "AAAA") and r["rt"] == "CNAME":
+            cnames.setdefault((r["qn"], r["qt"]), {})[r["cname"]] = r["rn"]
+            host_names.add(r["qn"])
+            host_names.add(r["cname"])
+    out = set()
+    for r in rows:
+        if r["rt"] == "NS" and r["ns"]:
+            out.add(_t("DomainName", r["rn"], "MANAGED_BY", "HostName", r["ns"]))
+        elif r["rt"] in ("A", "AAAA"):
+            ip = r["ip4"] if r["rt"] == "A" else r["ip6"]
+            if not ip:
+                continue
+            if r["rt"] == "AAAA":
+                try:
+                    ip = _ipaddr.IPv6Address(ip).compressed
+                except ValueError:
+                    continue
+            out.add(_t("HostName", r["rn"], "RESOLVES_TO", "IP", ip))
+            cname = r["rn"]
+            chain = cnames.get((r["qn"], r["qt"]), {})
+            while cname in chain:
+                up = chain[cname]
+                out.add(_t("HostName", up, "RESOLVES_TO", "IP", ip))
+                cname = up
+        elif r["rt"] == "CNAME" and r["qt"] in ("A", "AAAA"):
+            out.add(_t("HostName", r["rn"], "ALIAS_OF", "HostName", r["cname"]))
+    for hd in host_names & domain_names:
+        out.add(_t("HostName", hd, "PART_OF", "DomainName", hd))
+    return out
+
+
+GOLDEN.update({
+    "openintel.tranco1m": golden_openintel,
+})
+# inetintel.as_org needs the pre-existing Organization set (test harness).
+
+
+def golden_pch(docs: list[FixtureDoc]) -> set[Triple]:
+    """Golden from the GENERATOR'S INTENT records (not a parser): the
+    expected (prefix, origin) pairs per collector, compressed."""
+    out = set()
+    for d in docs:
+        for prefix, asn in d.record["expected"]:
+            p = _ipaddr.ip_network(prefix).compressed
+            out.add(_t("AS", asn, "ORIGINATE", "BGPPrefix", p))
+    return out
+
+
+GOLDEN["pch.daily_routing_snapshots_v4"] = golden_pch

@@ -1,0 +1,105 @@
+"""Canonicalization — connected components over alias/sibling edges.
+
+Reference semantics (SURVEY §J10): SIBLING_OF / ALIAS_OF edges
+(inetintel/as_org.py:97-109, openintel CNAME chains) define equivalence
+groups; the canonical representative is the minimum node id of the
+component. The reference never materializes this (Cypher path queries do it
+at read time); here it is an explicit min-label-propagation job:
+
+    comp(v) ← min(comp(v), min over neighbors comp(u))   until fixpoint
+
+Each iteration is one hash-join + one aggregation (~log(diameter) rounds;
+alias chains are short, so 2-4 rounds in practice). localCheckpoint after
+every round keeps the plan linear — without it the lineage doubles per
+iteration and Catalyst analysis time explodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ALIAS_PREDS = ["SIBLING_OF", "ALIAS_OF"]
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """edges: (src long, dst long) undirected-izable pairs →
+    (node_id long, component_id long) where component_id = min node id."""
+    sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    sym = sym.unionByName(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint(eager=True)
+
+    comp = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # candidate component = min over self and neighbors' comps
+        neighbor_comp = (
+            sym.join(comp, sym.b == comp.node)
+            .select(F.col("a").alias("node"), "comp")
+        )
+        new_comp = (
+            comp.unionByName(neighbor_comp)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    return comp.select(F.col("node").alias("node_id"), F.col("comp").alias("component_id"))
+
+
+def canonical_id_mapping(store) -> DataFrame:
+    """Canonical-id map over the graph's alias edges: every node in a
+    SIBLING_OF/ALIAS_OF component maps to the component's min node_id.
+    Nodes without alias edges map to themselves implicitly (absent here)."""
+    alias_edges = (
+        store.read_triples()
+        .filter(F.col("pred").isin(ALIAS_PREDS))
+        .select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+    )
+    return connected_components(alias_edges)
+
+
+def resolve_cname_chains(resolves: DataFrame, aliases: DataFrame,
+                         max_depth: int = 10) -> DataFrame:
+    """Transitive CNAME resolution (J10, openintel/__init__.py:475-482
+    recurse_cnames): host -ALIAS_OF-> host chains are followed until an
+    address-bearing host is reached; emits (host, ip, depth) rows with the
+    transitive closure. Iterative join to fixpoint with a loop guard
+    (max_depth bounds cycles, like the reference's seen-set).
+
+    resolves: (host string, ip string); aliases: (src string, dst string).
+    """
+    out = resolves.select("host", "ip").withColumn("depth", F.lit(0))
+    frontier = out
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            aliases.join(frontier, aliases.dst == frontier.host)
+            .select(aliases.src.alias("host"), "ip")
+            .withColumn("depth", F.lit(depth))
+        )
+        # drop pairs already known (cycle guard)
+        nxt = nxt.join(
+            out.select("host", "ip").withColumnRenamed("host", "h2")
+            .withColumnRenamed("ip", "i2"),
+            (F.col("host") == F.col("h2")) & (F.col("ip") == F.col("i2")),
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        if nxt.limit(1).count() == 0:
+            break
+        out = out.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return out

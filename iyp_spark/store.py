@@ -95,7 +95,7 @@ class GraphStore:
             df = df.filter(F.col("label") == label)
         return df
 
-    def upsert_nodes(self, df: DataFrame) -> int:
+    def upsert_nodes(self, df: DataFrame, count_rows: bool = True) -> int:
         """K1/K2/K4: MERGE new keys into the dictionary, union labels, and
         merge props of existing ones (last-writer-wins per key, like the
         reference's ``SET a += props``, iyp/__init__.py:326-446).
@@ -163,7 +163,7 @@ class GraphStore:
         )
         if fresh:
             # count from parquet footers — avoids recomputing the write plan
-            n = self.spark.read.parquet(self.nodes_path).count()
+            n = self.spark.read.parquet(self.nodes_path).count() if count_rows else -1
         return n
 
     def enrich_nodes(self, df: DataFrame) -> int:
@@ -188,7 +188,8 @@ class GraphStore:
             df = df.filter(F.col("reference_name") == reference_name)
         return df
 
-    def replace_triples(self, reference_name: str, df: DataFrame) -> int:
+    def replace_triples(self, reference_name: str, df: DataFrame,
+                        count_rows: bool = True) -> int:
         """K5 with rerun semantics: idempotent replace of one crawler's
         partition (ref: delete-by-reference_name then re-append,
         iyp/__init__.py:660-687, post/ip2prefix.py:113-122).
@@ -196,14 +197,16 @@ class GraphStore:
         Iceberg equivalent: ``overwritePartitions()`` /
         ``DELETE WHERE reference_name = X`` + append.
         """
-        out = (
-            df.withColumn("reference_name", F.col("reference.reference_name"))
-            .select([f.name for f in TRIPLES_SCHEMA.fields])
+        out = df.withColumn(
+            "reference_name", F.col("reference.reference_name")
+        ).select([f.name for f in TRIPLES_SCHEMA.fields])
+        fresh = not _exists(os.path.join(self.triples_path,
+                                         f"reference_name={reference_name}"))
+        if not fresh:
             # post-processors derive triples FROM the triples table; truncate
             # lineage before overwriting the partition being read
-            .localCheckpoint(eager=True)
-        )
-        n = out.count()
+            out = out.localCheckpoint(eager=True)
+        n = out.count() if (count_rows or not fresh) else -1
         # dynamic partitionOverwriteMode → only reference_name=<X> dirs replaced
         (
             out.repartition(F.col("pred"), F.pmod(F.col("subj_id"), F.lit(16)))
@@ -213,7 +216,7 @@ class GraphStore:
         )
         return n
 
-    def replace_triples_multi(self, df: DataFrame) -> int:
+    def replace_triples_multi(self, df: DataFrame, count_rows: bool = True) -> int:
         """Multi-crawler variant of replace_triples: one write replaces every
         reference_name partition present in ``df`` (dynamic overwrite)."""
         fresh = not _exists(self.triples_path)
@@ -231,7 +234,7 @@ class GraphStore:
             .parquet(self.triples_path)
         )
         if fresh:
-            n = self.spark.read.parquet(self.triples_path).count()
+            n = self.spark.read.parquet(self.triples_path).count() if count_rows else -1
         return n
 
     def export_golden(self, path: str) -> None:

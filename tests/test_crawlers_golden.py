@@ -33,12 +33,44 @@ def emitted_triples(store, name) -> set:
 
 
 def golden_for(name: str) -> set:
+    from iyp_spark.golden import (golden_inetintel, golden_nro_delegated,
+                                  golden_peeringdb_ix)
+
     docs = GENERATORS[name](SCALE)
+    if name == "inetintel.as_org":
+        existing = {
+            d.record["name"].strip()
+            for d in GENERATORS["peeringdb.org"](SCALE)
+        } | {
+            d.record["name"]
+            for d in GENERATORS["caida.as2org"](SCALE)
+            if d.record["kind"] == "org" and not d.record["org_id"].startswith("@del")
+        }
+        return golden_inetintel(docs, existing)
     if name == "cisco.umbrella_top1m":
         existing_domains = {
             d.record["domain"] for d in GENERATORS["tranco.top1m"](SCALE)
         }
         return golden_umbrella(docs, existing_domains, set())
+    if name == "peeringdb.ix":
+        org_map = {
+            d.record["id"]: d.record["name"].strip()
+            for d in GENERATORS["peeringdb.org"](SCALE)
+        }
+        return golden_peeringdb_ix(docs, org_map)
+    if name == "nro.delegated_stats":
+        # every AS key created by crawlers that run before nro
+        existing = set()
+        for other in GENERATORS:
+            if other == name:
+                continue
+            for t in golden_for(other):
+                sl, sk, _, ol, ok = t
+                if sl == "AS":
+                    existing.add(int(sk))
+                if ol == "AS":
+                    existing.add(int(ok))
+        return golden_nro_delegated(docs, existing)
     return GOLDEN[name](docs)
 
 
