@@ -1,0 +1,41 @@
+"""Physical-plan audits (BASELINE.md "No per-row Python" criterion and the
+scale-readiness checks SURVEY §4 promises):
+
+- every crawler's parse/transform plan uses only Arrow-vectorized Python
+  (ArrowEvalPython / MapInPandas), NEVER row-at-a-time BatchEvalPython;
+- the documents scan partition-prunes on the crawler column;
+- dimension joins in the query library go broadcast.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iyp_spark.crawlers import CRAWLER_ORDER, REGISTRY
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_per_row_python_in_crawler_plans(store, corpus, name):
+    crawler = REGISTRY[name](store)
+    nodes, triples = crawler.transform(store.read_documents(crawler=name))
+    for df in list(nodes) + list(triples):
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+def test_documents_scan_partition_prunes(store, corpus):
+    scan = store.read_documents(crawler="bgpkit.pfx2asn").select("doc_id")
+    plan = plan_of(scan)
+    assert "PartitionFilters" in plan and "crawler" in plan
+
+
+def test_dim_joins_broadcast(spark):
+    from iyp_spark.entry_queries import QUERIES
+
+    plan = plan_of(QUERIES["revenue_per_region"](spark, "/root/testdata/sf0.01"))
+    assert plan.count("BroadcastHashJoin") >= 3
