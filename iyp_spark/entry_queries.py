@@ -639,3 +639,157 @@ FROM documents
 def multimodal_decode_meta(spark, sf_dir):
     from .ops.multimodal import decode_media, docs_as_media
     return decode_media(docs_as_media(tbl(spark, sf_dir, "documents")))
+
+
+# =====================================================================
+# Window analytics: lag / gap analysis (W-class)
+# =====================================================================
+@q("order_gap_days", """
+SELECT o_custkey, o_orderkey, gap_days FROM (
+  SELECT o_custkey, o_orderkey,
+         date_diff('day',
+                   lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders)
+WHERE gap_days IS NOT NULL
+""")
+def order_gap_days(spark, sf_dir):
+    o = tbl(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("prev", F.lag(F.col("o_orderdate").cast("date")).over(w))
+        .withColumn("gap_days",
+                    F.datediff(F.col("o_orderdate").cast("date"), F.col("prev")))
+        .filter(F.col("gap_days").isNotNull())
+        .select("o_custkey", "o_orderkey", "gap_days")
+    )
+
+
+@q("acctbal_quartiles", """
+SELECT c_nationkey, quartile, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
+FROM (
+  SELECT c_nationkey, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer)
+GROUP BY c_nationkey, quartile
+""")
+def acctbal_quartiles(spark, sf_dir):
+    c = tbl(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_money(F.col("c_acctbal"))), 2)
+            .cast("double").alias("total_bal"),
+        )
+    )
+
+
+# =====================================================================
+# Stateful sessionization (batch shape of streaming session windows):
+# new session when the gap to the previous event exceeds 30 minutes
+# =====================================================================
+@q("event_sessions", """
+SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions, COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+         SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           date_diff('second',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_s
+    FROM events))
+GROUP BY user_id
+""")
+def event_sessions(spark, sf_dir):
+    e = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag(F.col("ts")).over(w))
+    return (
+        e.withColumn("gap_s", gap)
+        .withColumn(
+            "session_id",
+            F.sum(
+                F.when(F.col("gap_s").isNull() | (F.col("gap_s") > 1800), 1)
+                .otherwise(0)
+            ).over(wc),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# =====================================================================
+# Distinct-pair counting + conditional aggregation
+# =====================================================================
+@q("distinct_part_supp_pairs", """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_partkey || '-' || l_suppkey) AS n_pairs
+FROM lineitem GROUP BY l_returnflag
+""")
+def distinct_part_supp_pairs(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct(
+            F.concat(F.col("l_partkey").cast("string"), F.lit("-"),
+                     F.col("l_suppkey").cast("string"))
+        ).alias("n_pairs"),
+    )
+
+
+@q("returns_vs_kept_qty", """
+SELECT l_linestatus,
+       CAST(ROUND(SUM(CASE WHEN l_returnflag = 'R'
+                           THEN CAST(l_quantity AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+           AS returned_qty,
+       CAST(ROUND(SUM(CASE WHEN l_returnflag <> 'R'
+                           THEN CAST(l_quantity AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+           AS kept_qty
+FROM lineitem GROUP BY l_linestatus
+""")
+def returns_vs_kept_qty(spark, sf_dir):
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(
+            F.sum(F.when(F.col("l_returnflag") == "R",
+                         _money(F.col("l_quantity")))), 2
+        ).cast("double").alias("returned_qty"),
+        F.round(
+            F.sum(F.when(F.col("l_returnflag") != "R",
+                         _money(F.col("l_quantity")))), 2
+        ).cast("double").alias("kept_qty"),
+    )
+
+
+@q("top10_quality_docs", f"""
+SELECT doc_id, quality FROM (
+  SELECT doc_id,
+         FLOOR((1.0 - len(list_filter(toks, x -> x IN ('the','a','of','and','in')))
+                / len(toks)
+                + len(list_distinct(toks)) / len(toks)) / 2.0 * 10000) / 10000
+             AS quality
+  FROM (SELECT doc_id, {{_TOKS_SQL}} AS toks FROM documents))
+ORDER BY quality DESC, doc_id LIMIT 10
+""".replace("{_TOKS_SQL}", _TOKS_SQL))
+def top10_quality_docs(spark, sf_dir):
+    from .ops.text import quality_score
+    return (
+        quality_score(tbl(spark, sf_dir, "documents"))
+        .select("doc_id", "quality")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .limit(10)
+    )
