@@ -22,6 +22,9 @@ from .nro_delegated import NroDelegatedStats
 from .openintel import OpenIntel
 from .inetintel_as_org import InetIntelAsOrg
 from .pch_routing import PchRoutingV4
+from .worldbank_pop import WorldBankCountryPop
+from .iana_root_zone import IanaRootZone
+from .ripe_roa import RipeRoa
 
 CRAWLER_ORDER = [
     PfxToAsn,
@@ -37,10 +40,13 @@ CRAWLER_ORDER = [
     CaidaAs2Org,
     OpenIntel,
     PchRoutingV4,
+    IanaRootZone,
+    RipeRoa,
     # second wave (NEEDS_EXISTING): read dictionaries/edges from the first
     CiscoUmbrella,  # prefers existing DomainName/HostName nodes
     PeeringdbIx,    # resolves orgs through PeeringdbOrgID EXTERNAL_ID edges
     InetIntelAsOrg,  # org siblings only among pre-existing Organizations
+    WorldBankCountryPop,  # links only pre-existing Country nodes
     NroDelegatedStats,  # links only pre-existing AS nodes (runs last)
 ]
 

@@ -820,3 +820,89 @@ def gen_pch_routing(scale: float = 1.0) -> list[FixtureDoc]:
 
 
 GENERATORS["pch.daily_routing_snapshots_v4"] = gen_pch_routing
+
+
+# ---------------------------------------------------------------- batch 5
+
+def gen_worldbank_pop(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref worldbank/country_pop.py:25-63: one doc per API entry; some
+    countries unknown to IYP, some null values."""
+    name = "worldbank.country_pop"
+    rng = _rng(name)
+    docs = []
+    ccs = [c.upper() for c in COUNTRIES] + ["ZZ", "XK", "QQ"]  # unknowns
+    for i, cc in enumerate(ccs):
+        value = None if rng.random() < 0.1 else rng.randint(100000, 900000000)
+        rec = {"country": {"id": cc}, "value": value}
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name,
+                               _spans([("text", json.dumps(rec, sort_keys=True))]),
+                               {"cc": cc, "value": value}))
+    return docs
+
+
+def gen_iana_root_zone(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref iana/root_zone.py:30-105: zone-file lines; uncompressed IPv6,
+    non-IN classes, unsupported types, short lines."""
+    name = "iana.root_zone"
+    rng = _rng(name)
+    n_tld = max(8, int(30 * min(scale, 1.0)))
+    docs = []
+    seq = 0
+
+    def emit(line, rec):
+        nonlocal seq
+        docs.append(FixtureDoc(f"{name}/{seq:06d}", name,
+                               _spans([("text", line)]), rec))
+        seq += 1
+
+    for i in range(n_tld):
+        tld = f"zone{i}"
+        ns = f"a.nic.{tld}"
+        emit(f"{tld}. 172800 IN NS {ns}.", {"kind": "NS", "name": tld, "ns": ns})
+        emit(f"{ns}. 172800 IN A 198.41.{i % 250}.4",
+             {"kind": "A", "name": ns, "ip": f"198.41.{i % 250}.4"})
+        if i % 2 == 0:
+            import ipaddress as _ipm
+            raw6 = f"2001:dcd:{i % 9}:0:0:0:0:9"
+            emit(f"{ns}. 172800 IN AAAA {raw6}",
+                 {"kind": "AAAA", "name": ns,
+                  "ip": _ipm.ip_address(raw6).compressed})
+        if i % 5 == 0:
+            emit(f"{tld}. 86400 IN TXT \"junk\"", {"kind": "skip"})
+        if i % 7 == 0:
+            emit(f"{tld}. 172800 CH NS weird.{tld}.", {"kind": "skip"})
+        if i % 9 == 0:
+            emit("short line", {"kind": "skip"})
+    return docs
+
+
+def gen_ripe_roa(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref ripe/roa.py:35-100: roas.csv lines incl. header and malformed
+    prefixes; ASNs carry the 'AS' prefix."""
+    name = "ripe.roa"
+    rng = _rng(name)
+    pool = asn_pool()
+    prefixes = prefix_pool()
+    n = int(300 * scale)
+    docs = []
+    docs.append(FixtureDoc(f"{name}/000000", name,
+                           _spans([("text", "URI,ASN,IP Prefix,Max Length,Not Before,Not After")]),
+                           {"kind": "header"}))
+    for i in range(1, n + 1):
+        if rng.random() < 0.02:
+            prefix = rng.choice(MALFORMED_PREFIXES)
+        else:
+            prefix = rng.choice(prefixes)
+        asn = rng.choice(pool)
+        line = (f"rsync://rpki.example/repo/{i}.roa,AS{asn},{prefix},"
+                f"{rng.choice([16, 24, 32, 48])},2026-01-01,2027-01-01")
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name, _spans([("text", line)]),
+                               {"kind": "roa", "asn": asn, "prefix": prefix}))
+    return docs
+
+
+GENERATORS.update({
+    "worldbank.country_pop": gen_worldbank_pop,
+    "iana.root_zone": gen_iana_root_zone,
+    "ripe.roa": gen_ripe_roa,
+})

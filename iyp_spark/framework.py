@@ -237,6 +237,7 @@ SUBTYPE_LABELS = {
     "RIRPrefix": ["Prefix"],
     "GeoPrefix": ["Prefix"],
     "PeeringLAN": ["Prefix"],
+    "RPKIPrefix": ["Prefix"],
 }
 
 

@@ -477,3 +477,51 @@ def golden_pch(docs: list[FixtureDoc]) -> set[Triple]:
 
 
 GOLDEN["pch.daily_routing_snapshots_v4"] = golden_pch
+
+
+# ---------------------------------------------------------------- batch 5
+
+def golden_worldbank(docs: list[FixtureDoc], existing_ccs: set[str]) -> set[Triple]:
+    """ref worldbank/country_pop.py:25-63."""
+    out = set()
+    for d in docs:
+        r = d.record
+        if r["cc"] in existing_ccs and r["value"]:
+            out.add(_t("Country", r["cc"], "POPULATION", "Estimate",
+                       "World Bank Population Estimate"))
+    return out
+
+
+def golden_iana_root_zone(docs: list[FixtureDoc]) -> set[Triple]:
+    """ref iana/root_zone.py:30-105."""
+    out = set()
+    for d in docs:
+        r = d.record
+        if r["kind"] == "NS":
+            out.add(_t("DomainName", r["name"], "MANAGED_BY", "DomainName", r["ns"]))
+        elif r["kind"] in ("A", "AAAA"):
+            out.add(_t("DomainName", r["name"], "RESOLVES_TO", "IP", r["ip"]))
+    return out
+
+
+def golden_ripe_roa(docs: list[FixtureDoc]) -> set[Triple]:
+    """ref ripe/roa.py:35-100: malformed prefixes skipped, compressed."""
+    out = set()
+    for d in docs:
+        r = d.record
+        if r["kind"] != "roa":
+            continue
+        try:
+            prefix = _ipaddr.ip_network(r["prefix"]).compressed
+        except ValueError:
+            continue
+        out.add(_t("AS", r["asn"], "ROUTE_ORIGIN_AUTHORIZATION",
+                   "RPKIPrefix", prefix))
+    return out
+
+
+GOLDEN.update({
+    "iana.root_zone": golden_iana_root_zone,
+    "ripe.roa": golden_ripe_roa,
+})
+# worldbank.country_pop needs the existing Country set (test harness).

@@ -52,6 +52,22 @@ def golden_for(name: str) -> set:
             d.record["domain"] for d in GENERATORS["tranco.top1m"](SCALE)
         }
         return golden_umbrella(docs, existing_domains, set())
+    if name == "worldbank.country_pop":
+        from iyp_spark.golden import golden_worldbank
+
+        # countries existing when worldbank runs: every crawler EXCEPT nro,
+        # which runs after it in CRAWLER_ORDER (and except itself)
+        existing_ccs = set()
+        for other in GENERATORS:
+            if other in (name, "nro.delegated_stats"):
+                continue
+            for t in golden_for(other):
+                sl, sk, _, ol, ok = t
+                if sl == "Country":
+                    existing_ccs.add(sk)
+                if ol == "Country":
+                    existing_ccs.add(ok)
+        return golden_worldbank(docs, existing_ccs)
     if name == "peeringdb.ix":
         org_map = {
             d.record["id"]: d.record["name"].strip()
@@ -59,10 +75,12 @@ def golden_for(name: str) -> set:
         }
         return golden_peeringdb_ix(docs, org_map)
     if name == "nro.delegated_stats":
-        # every AS key created by crawlers that run before nro
+        # every AS key created by crawlers that run before nro (worldbank
+        # creates none, but skipping it also breaks the mutual recursion
+        # between the two context-dependent goldens)
         existing = set()
         for other in GENERATORS:
-            if other == name:
+            if other in (name, "worldbank.country_pop"):
                 continue
             for t in golden_for(other):
                 sl, sk, _, ol, ok = t
