@@ -58,6 +58,28 @@ def compress_ip(s: pd.Series) -> pd.Series:
     return s.map(one)
 
 
+@F.pandas_udf(T.StringType())
+def compress_global_ip(s: pd.Series) -> pd.Series:
+    """Compressed form of a *globally routable* IP; None if malformed or
+    non-global (private/link-local/multicast...).
+
+    Ref: the OONI resolver/DNS-answer filters —
+    iyp/crawlers/ooni/__init__.py:80-85 (resolver_ip.is_global) and
+    :196-210 (answer ip.is_global).
+    """
+
+    def one(x):
+        if x is None:
+            return None
+        try:
+            ip = ipaddress.ip_address(x.strip())
+            return ip.compressed if ip.is_global else None
+        except ValueError:
+            return None
+
+    return s.map(one)
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def decompose_range_to_cidrs(start: pd.Series, count: pd.Series) -> pd.Series:
     """IPv4 (start, address-count) range → list of covering CIDR prefixes.
@@ -84,23 +106,28 @@ def decompose_range_to_cidrs(start: pd.Series, count: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.StructType([
-    T.StructField("start", T.DecimalType(38, 0), True),
-    T.StructField("end", T.DecimalType(38, 0), True),
+    T.StructField("start", T.StringType(), True),
+    T.StructField("end", T.StringType(), True),
     T.StructField("prefixlen", T.IntegerType(), True),
     T.StructField("af", T.IntegerType(), True),
 ]))
 def prefix_bounds(s: pd.Series) -> pd.DataFrame:
-    """CIDR prefix → integer [start, end] bounds (for interval/LPM joins).
+    """CIDR prefix → fixed-width hex [start, end] bounds for interval/LPM
+    joins: 8 hex chars for v4, 32 for v6, so lexicographic string compare
+    equals numeric compare within an address family.
 
-    Replaces the reference's radix tree (iyp/post/ip2prefix.py:37-72) with
-    data the engine can range-join on. Decimal(38,0) holds 128-bit IPv6 ints.
+    Replaces the reference's radix tree (iyp/post/ip2prefix.py:37-72). Hex
+    strings instead of decimal(38,0): 128-bit IPv6 integers need 39 decimal
+    digits, one more than Spark/Arrow's max decimal precision — fe80::,
+    ff00::/8 or ::/0 end bounds would overflow decimal(38,0) at runtime.
     """
     starts, ends, lens, afs = [], [], [], []
     for x in s:
         try:
             net = ipaddress.ip_network(x)
-            starts.append(int(net.network_address))
-            ends.append(int(net.broadcast_address))
+            w = 8 if net.version == 4 else 32
+            starts.append(format(int(net.network_address), f"0{w}x"))
+            ends.append(format(int(net.broadcast_address), f"0{w}x"))
             lens.append(net.prefixlen)
             afs.append(net.version)
         except (ValueError, TypeError):
@@ -108,13 +135,15 @@ def prefix_bounds(s: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"start": starts, "end": ends, "prefixlen": lens, "af": afs})
 
 
-@F.pandas_udf(T.DecimalType(38, 0))
-def ip_to_int(s: pd.Series) -> pd.Series:
-    """IP string → integer (for LPM join probes)."""
+@F.pandas_udf(T.StringType())
+def ip_to_hex(s: pd.Series) -> pd.Series:
+    """IP string → fixed-width hex (LPM join probes; width matches
+    prefix_bounds so string compare is numeric compare)."""
 
     def one(x):
         try:
-            return int(ipaddress.ip_address(x))
+            ip = ipaddress.ip_address(x)
+            return format(int(ip), "08x" if ip.version == 4 else "032x")
         except (ValueError, TypeError):
             return None
 

@@ -7,10 +7,12 @@ typing): (1) name already a DomainName node, (2) already a HostName node,
 HostName. Invalid lines (`rank,domain` unpacking fails) are skipped.
 
 Spark plan: two broadcast left-semi-style joins against the node
-dictionary (S8 seed scan) + a when/otherwise classification. Depends on
-crawlers that create DomainName nodes having run first (the reference has
-the same config-order dependency, config.json.example:56-135) — declared
-via NEEDS_EXISTING so the batched runner schedules it in the second wave.
+dictionary (S8 seed scan), then PSL registered-domain classification
+(psl.with_registered_domain — broadcast suffix-rule joins matching the
+reference's tldextract, :99-104). Depends on crawlers that create
+DomainName nodes having run first (the reference has the same config-order
+dependency, config.json.example:56-135) — declared via NEEDS_EXISTING so
+the batched runner schedules it in the second wave.
 """
 
 from __future__ import annotations
@@ -19,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..framework import SparkCrawler
+from ..psl import with_registered_domain
 
 RANKING = "Cisco Umbrella Top 1 million"
 
@@ -44,20 +47,25 @@ class CiscoUmbrella(SparkCrawler):
         dom = self.existing_keys("DomainName").withColumn("is_dom", F.lit(True))
         host = self.existing_keys("HostName").withColumn("is_host", F.lit(True))
         mentions = self.m(
-            parsed.join(F.broadcast(dom), parsed.name == dom.key, "left")
-            .drop("key")
-            .join(F.broadcast(host), parsed.name == host.key, "left")
-            .drop("key")
+            with_registered_domain(
+                parsed.join(F.broadcast(dom), parsed.name == dom.key, "left")
+                .drop("key")
+                .join(F.broadcast(host), parsed.name == host.key, "left")
+                .drop("key"),
+                "name",
+            )
             .withColumn(
                 "label",
                 F.when(F.col("is_dom"), F.lit("DomainName"))
                 .when(F.col("is_host"), F.lit("HostName"))
-                # registered-domain test: fixture names are 2-label
-                # registered domains or deeper hostnames (ref tldextract
-                # classification, :100-105)
-                .when(F.size(F.split("name", r"\.")) == 2, F.lit("DomainName"))
+                # PSL classification (ref tldextract, :100-105): the name IS
+                # its registered domain → DomainName (example.co.uk included;
+                # a bare public suffix or unknown TLD → HostName)
+                .when(F.col("name") == F.col("registered_domain"),
+                      F.lit("DomainName"))
                 .otherwise(F.lit("HostName")),
             )
+            .drop("registered_domain", "public_suffix")
             .withColumn("ranking", F.lit(RANKING))
             .withColumn(
                 "link_props",

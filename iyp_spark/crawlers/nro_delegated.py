@@ -31,7 +31,8 @@ class NroDelegatedStats(SparkCrawler):
     URL = "https://ftp.ripe.net/pub/stats/ripencc/nro-stats/latest/nro-delegated-stats"
     NAME = "nro.delegated_stats"
     EXPECTED_PREDS = ["ASSIGNED", "AVAILABLE", "RESERVED", "COUNTRY"]
-    NEEDS_EXISTING = True  # links only ASNs already in the graph
+    NEEDS_EXISTING = True
+    WAVE = 3  # reads AS/Country nodes created by wave-2 crawlers (peeringdb.ix)  # links only ASNs already in the graph
 
     def transform(self, docs: DataFrame):
         line = self.text_span(0)

@@ -1,0 +1,453 @@
+"""OONI crawler family — censorship-measurement aggregation.
+
+Reference: iyp/crawlers/ooni/__init__.py (shared base: per-line probe
+parsing, resolver collection, COUNTRY links, percentage aggregation with
+category backfill, :156-185) plus the per-test subclasses. The reference
+streams jsonl lines into Python dicts and aggregates on the driver; here
+each measurement is one document row and the whole family is DataFrame
+programs:
+
+- the per-line skip ladder (no test_keys → skip; AS0 → skip; invalid
+  country → null cc; non-global resolver → dropped) becomes filters over a
+  ``from_json`` parse — key-PRESENCE checks (``'blocking' in test_keys``)
+  use ``json_object_keys``, which distinguishes a missing key from an
+  explicit null the way dict membership does;
+- ``make_result_dict`` (ooni/__init__.py:161-185: counts per category,
+  backfilled to the full category list, percentages of a total) becomes ONE
+  groupBy with a conditional-sum column per declared category — the
+  backfill is free because the category list is static, and the aggregation
+  is a single map-side-combinable shuffle per crawler (A1);
+- CENSORED link props carry percentage_<cat>/count_<cat>/total_count/
+  country_code exactly like the reference subclasses.
+
+All heavy parsing is JVM json; the only Arrow UDF is the is_global IP
+check (canon.compress_global_ip).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..canon import canon_asn, compress_global_ip, compress_ip, is_valid_cc
+from ..framework import SparkCrawler
+
+OONI_URL = "s3://ooni-data-eu-fra/raw/"
+
+_BASE_FIELDS = [
+    T.StructField("probe_asn", T.StringType()),
+    T.StructField("probe_cc", T.StringType()),
+    T.StructField("resolver_ip", T.StringType()),
+    T.StructField("input", T.StringType()),
+]
+
+
+def percentage_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    result_cols: list[str],
+    categories: list[str],
+) -> DataFrame:
+    """The reference's aggregate_results + make_result_dict as one groupBy
+    (ooni/__init__.py:156-185): per group, count each category across the
+    result columns, backfill missing categories with 0, and attach the
+    percentage/count/total props map in the reference's prop-name scheme.
+
+    total_count: every row carries exactly one "total-like" result per
+    result column set, so the reference's explicit ``total_ok +
+    total_blocked`` (telegram/whatsapp) and implicit ``sum(counts)``
+    (single-result crawlers) are both just COUNT(*) of the group.
+    """
+    cnt_cols = []
+    for i, cat in enumerate(categories):
+        hit = None
+        for rc in result_cols:
+            h = (F.col(rc) == F.lit(cat)).cast("long")
+            hit = h if hit is None else hit + h
+        cnt_cols.append(F.sum(hit).alias(f"_cnt_{i}"))
+    agg = df.groupBy(*group_cols).agg(*cnt_cols, F.count(F.lit(1)).alias("_total"))
+    entries = []
+    for i, cat in enumerate(categories):
+        pct = (F.col(f"_cnt_{i}") / F.col("_total")) * 100.0
+        entries += [F.lit(f"percentage_{cat}"), pct.cast("string")]
+        entries += [F.lit(f"count_{cat}"), F.col(f"_cnt_{i}").cast("string")]
+    entries += [F.lit("total_count"), F.col("_total").cast("string")]
+    entries += [F.lit("country_code"), F.col("cc")]
+    return agg.withColumn(
+        "link_props",
+        F.map_filter(F.create_map(*entries), lambda k, v: v.isNotNull()),
+    ).drop(*[f"_cnt_{i}" for i in range(len(categories))], "_total")
+
+
+class OoniCrawler(SparkCrawler):
+    """Shared base: probe parsing + resolver nodes + (webconnectivity only)
+    COUNTRY links. Subclasses set DATASET/CATEGORIES/TK_FIELDS and override
+    ``transform``."""
+
+    ORG = "OONI"
+    URL = OONI_URL
+    DATASET = ""
+    CATEGORIES: list[str] = []
+    TK_FIELDS: list[T.StructField] = []
+
+    def schema(self) -> T.StructType:
+        return T.StructType(
+            _BASE_FIELDS + [T.StructField("test_keys", T.StructType(self.TK_FIELDS))]
+        )
+
+    def base_parse(self, docs: DataFrame) -> DataFrame:
+        """One row per measurement with: asn, cc (null when invalid),
+        resolver (null unless valid + global), tk_keys (test_keys key set),
+        test_keys struct, input. Rows without usable test_keys or with a
+        hidden probe (AS0) are dropped per ooni/__init__.py:68-99 —
+        except that resolver collection happens BEFORE the AS0 skip there,
+        which ``resolver_rows`` preserves."""
+        line = self.text_span(0)
+        raw = docs.select(
+            F.from_json(line, self.schema()).alias("r"),
+            F.json_object_keys(F.get_json_object(line, "$.test_keys")).alias("tk_keys"),
+        ).select("r.*", "tk_keys")
+        # `if not one_line.get('test_keys')` — missing, null, and {} all skip
+        raw = raw.filter(F.col("tk_keys").isNotNull() & (F.size("tk_keys") > 0))
+        raw = raw.withColumn("asn", canon_asn(F.col("probe_asn"))).withColumn(
+            "resolver", compress_global_ip(F.col("resolver_ip"))
+        )
+        return raw.withColumn(
+            "cc", F.when(is_valid_cc(F.col("probe_cc")), F.col("probe_cc"))
+        )
+
+    @staticmethod
+    def result_rows(raw: DataFrame) -> DataFrame:
+        """Measurements that produce results: hidden probes (AS0) out."""
+        return raw.filter(F.col("asn").isNotNull() & (F.col("asn") != 0))
+
+    def base_nodes(self, raw: DataFrame, results: DataFrame) -> list[DataFrame]:
+        resolvers = raw.filter(F.col("resolver").isNotNull())
+        return [
+            self.make_nodes(results, "AS", "asn"),
+            self.make_nodes(results.filter(F.col("cc").isNotNull()), "Country", "cc"),
+            # batch_add_node_label(dns_resolver, 'Resolver') — K4 subtyping
+            self.make_nodes(resolvers, "IP", "resolver", extra_labels=["Resolver"]),
+        ]
+
+    def country_triples(self, results: DataFrame) -> list[DataFrame]:
+        """COUNTRY links are only added from the webconnectivity dataset to
+        avoid duplication (ooni/__init__.py:129-152)."""
+        if self.DATASET != "webconnectivity":
+            return []
+        pairs = results.filter(F.col("cc").isNotNull()).dropDuplicates(["asn", "cc"])
+        return [self.make_triples(pairs, "COUNTRY", "AS", "asn", "Country", "cc")]
+
+
+class OoniWebConnectivity(OoniCrawler):
+    """ref iyp/crawlers/ooni/webconnectivity.py:29-167: blocking/accessible
+    result table, URL-host classification (IP-literal vs DNS name), DNS
+    query answers → RESOLVES_TO, per-(asn,country,url) CENSORED
+    percentages."""
+
+    NAME = "ooni.webconnectivity"
+    DATASET = "webconnectivity"
+    CATEGORIES = ["ok", "confirmed", "failure", "anomaly"]
+    EXPECTED_PREDS = ["CENSORED", "RESOLVES_TO", "PART_OF", "COUNTRY"]
+    TK_FIELDS = [
+        # blocking is false | 'dns' | 'tcp_ip' | ... — parsed as string, so
+        # the JSON literal false arrives as "false" and null stays null
+        T.StructField("blocking", T.StringType()),
+        T.StructField("accessible", T.BooleanType()),
+        T.StructField("queries", T.ArrayType(T.StructType([
+            T.StructField("query_type", T.StringType()),
+            T.StructField("hostname", T.StringType()),
+            T.StructField("failure", T.StringType()),
+            T.StructField("answers", T.ArrayType(T.StructType([
+                T.StructField("answer_type", T.StringType()),
+                T.StructField("ipv4", T.StringType()),
+                T.StructField("ipv6", T.StringType()),
+            ]))),
+        ]))),
+    ]
+
+    _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+    def transform(self, docs: DataFrame):
+        raw = self.base_parse(docs)
+        valid = (
+            self.result_rows(raw)
+            # 'blocking'/'accessible' missing → skip entry (:35-39)
+            .filter(F.array_contains("tk_keys", "blocking")
+                    & F.array_contains("tk_keys", "accessible"))
+            .withColumn("url_host",
+                        F.lower(F.regexp_extract("input", self._HOST_RE, 1)))
+            .withColumn("host_ip", compress_ip(F.col("url_host")))
+            # hostname not an IP and no DNS resolution recorded → skip (:60-67)
+            .filter(F.col("host_ip").isNotNull()
+                    | F.array_contains("tk_keys", "queries"))
+        )
+        blocking = F.col("test_keys.blocking")
+        accessible = F.col("test_keys.accessible")
+        mentions = self.m(valid.withColumn(
+            "result",
+            # the ts-017 decision table (:71-89)
+            F.when(blocking.isNull() & accessible.isNull(), F.lit("failure"))
+            .when((blocking == "false") & ~accessible, F.lit("failure"))
+            .when((blocking == "false") & accessible, F.lit("ok"))
+            .when(blocking.isin("dns", "tcp_ip", "http-failure", "http-diff")
+                  & ~accessible, F.lit("confirmed"))
+            .otherwise(F.lit("anomaly")),
+        ))
+
+        # DNS answers → (hostname, ip) pairs (process_dns_queries, :189-212)
+        q = (
+            mentions.filter(F.col("host_ip").isNull())
+            .select("input", F.explode("test_keys.queries").alias("q"))
+            .filter(F.col("q.query_type").isin("A", "AAAA")
+                    & (F.col("q.failure").isNull() | (F.col("q.failure") == "")))
+            .select("input", F.col("q.hostname").alias("hostname"),
+                    F.explode("q.answers").alias("a"))
+            .withColumn(
+                "ip",
+                compress_global_ip(
+                    F.when(F.col("a.answer_type") == "A", F.col("a.ipv4"))
+                    .when(F.col("a.answer_type") == "AAAA", F.col("a.ipv6"))
+                ),
+            )
+            .filter(F.col("ip").isNotNull())
+        )
+        resolves = q.dropDuplicates(["hostname", "ip"])
+        ip_urls = (
+            mentions.filter(F.col("host_ip").isNotNull())
+            .select(F.col("host_ip").alias("ip"), "input")
+            .dropDuplicates(["ip", "input"])
+        )
+        censored = percentage_agg(
+            mentions, ["asn", "cc", "input"], ["result"], self.CATEGORIES
+        )
+
+        nodes = self.base_nodes(raw, self.result_rows(raw)) + [
+            self.make_nodes(mentions, "URL", "input"),
+            self.make_nodes(q, "IP", "ip"),
+            self.make_nodes(ip_urls, "IP", "ip"),
+            self.make_nodes(resolves, "HostName", "hostname"),
+        ]
+        triples = self.country_triples(mentions) + [
+            self.make_triples(censored, "CENSORED", "AS", "asn", "URL", "input",
+                              props_col=F.col("link_props")),
+            self.make_triples(resolves, "RESOLVES_TO",
+                              "HostName", "hostname", "IP", "ip"),
+            self.make_triples(ip_urls, "PART_OF", "IP", "ip", "URL", "input"),
+        ]
+        return nodes, triples
+
+
+class _TagCensoredCrawler(OoniCrawler):
+    """Shared shape of telegram/whatsapp/signal/psiphon: per-(asn,country)
+    CENSORED percentages against a singleton Tag node (K3)."""
+
+    TAG_LABEL = ""
+    RESULT_COLS: list[str] = []
+
+    def derive_results(self, rows: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def transform(self, docs: DataFrame):
+        raw = self.base_parse(docs)
+        mentions = self.m(
+            self.derive_results(self.result_rows(raw))
+            .withColumn("tag", F.lit(self.TAG_LABEL))
+        )
+        censored = percentage_agg(
+            mentions, ["asn", "cc", "tag"], self.RESULT_COLS, self.CATEGORIES
+        )
+        nodes = self.base_nodes(raw, self.result_rows(raw)) + [
+            self.make_nodes(mentions.limit(1), "Tag", "tag"),
+        ]
+        triples = self.country_triples(mentions) + [
+            self.make_triples(censored, "CENSORED", "AS", "asn", "Tag", "tag",
+                              props_col=F.col("link_props")),
+        ]
+        return nodes, triples
+
+
+class OoniTelegram(_TagCensoredCrawler):
+    """ref iyp/crawlers/ooni/telegram.py:16-103."""
+
+    NAME = "ooni.telegram"
+    DATASET = "telegram"
+    TAG_LABEL = "OONI Telegram Test"
+    CATEGORIES = ["total_blocked", "total_ok", "web_blocked", "web_none",
+                  "web_ok", "http_blocked", "http_ok", "tcp_blocked", "tcp_ok"]
+    RESULT_COLS = ["r_total", "r_web", "r_http", "r_tcp"]
+    EXPECTED_PREDS = ["CENSORED"]
+    TK_FIELDS = [
+        T.StructField("telegram_http_blocking", T.BooleanType()),
+        T.StructField("telegram_tcp_blocking", T.BooleanType()),
+        T.StructField("telegram_web_status", T.StringType()),
+    ]
+
+    def derive_results(self, rows: DataFrame) -> DataFrame:
+        web = F.col("test_keys.telegram_web_status")
+        r_web = (
+            F.when(web == "blocked", F.lit("web_blocked"))
+            .when(web == "ok", F.lit("web_ok"))
+            .otherwise(F.lit("web_none"))
+        )
+        r_http = F.when(F.col("test_keys.telegram_http_blocking"),
+                        F.lit("http_blocked")).otherwise(F.lit("http_ok"))
+        r_tcp = F.when(F.col("test_keys.telegram_tcp_blocking"),
+                       F.lit("tcp_blocked")).otherwise(F.lit("tcp_ok"))
+        return (
+            rows.withColumn("r_web", r_web)
+            .withColumn("r_http", r_http)
+            .withColumn("r_tcp", r_tcp)
+            .withColumn(
+                "r_total",
+                F.when((F.col("r_web") == "web_blocked")
+                       | (F.col("r_http") == "http_blocked")
+                       | (F.col("r_tcp") == "tcp_blocked"),
+                       F.lit("total_blocked")).otherwise(F.lit("total_ok")),
+            )
+        )
+
+
+class OoniWhatsApp(_TagCensoredCrawler):
+    """ref iyp/crawlers/ooni/whatsapp.py:18-101."""
+
+    NAME = "ooni.whatsapp"
+    DATASET = "whatsapp"
+    TAG_LABEL = "OONI WhatsApp Test"
+    CATEGORIES = ["total_ok", "total_blocked", "endpoint_ok", "endpoint_blocked",
+                  "registration_server_ok", "registration_server_blocked",
+                  "web_ok", "web_blocked"]
+    RESULT_COLS = ["r_total", "r_server", "r_endpoint", "r_web"]
+    EXPECTED_PREDS = ["CENSORED"]
+    TK_FIELDS = [
+        T.StructField("registration_server_status", T.StringType()),
+        T.StructField("whatsapp_endpoints_status", T.StringType()),
+        T.StructField("whatsapp_web_status", T.StringType()),
+    ]
+
+    def derive_results(self, rows: DataFrame) -> DataFrame:
+        r_server = F.concat(F.lit("registration_server_"),
+                            F.col("test_keys.registration_server_status"))
+        r_endpoint = F.concat(F.lit("endpoint_"),
+                              F.col("test_keys.whatsapp_endpoints_status"))
+        r_web = F.concat(F.lit("web_"), F.col("test_keys.whatsapp_web_status"))
+        return (
+            rows.withColumn("r_server", r_server)
+            .withColumn("r_endpoint", r_endpoint)
+            .withColumn("r_web", r_web)
+            .withColumn(
+                "r_total",
+                F.when((F.col("r_server") == "registration_server_blocked")
+                       | (F.col("r_endpoint") == "endpoint_blocked")
+                       | (F.col("r_web") == "web_blocked"),
+                       F.lit("total_blocked")).otherwise(F.lit("total_ok")),
+            )
+        )
+
+
+class OoniSignal(_TagCensoredCrawler):
+    """ref iyp/crawlers/ooni/osignal.py:15-60: signal_backend_status is the
+    category; null status → skip."""
+
+    NAME = "ooni.signal"
+    DATASET = "signal"
+    TAG_LABEL = "OONI Signal Test"
+    CATEGORIES = ["ok", "blocked"]
+    RESULT_COLS = ["result"]
+    EXPECTED_PREDS = ["CENSORED"]
+    TK_FIELDS = [T.StructField("signal_backend_status", T.StringType())]
+
+    def derive_results(self, rows: DataFrame) -> DataFrame:
+        return rows.withColumn(
+            "result", F.col("test_keys.signal_backend_status")
+        ).filter(F.col("result").isNotNull())
+
+
+class OoniPsiphon(_TagCensoredCrawler):
+    """ref iyp/crawlers/ooni/psiphon.py:15-50: bootstrap_time × failure →
+    4-way category; missing bootstrap_time key → skip."""
+
+    NAME = "ooni.psiphon"
+    DATASET = "psiphon"
+    TAG_LABEL = "OONI Psiphon Test"
+    CATEGORIES = ["bootstrapping_error", "usage_error", "working", "invalid"]
+    RESULT_COLS = ["result"]
+    EXPECTED_PREDS = ["CENSORED"]
+    TK_FIELDS = [
+        T.StructField("bootstrap_time", T.DoubleType()),
+        T.StructField("failure", T.StringType()),
+    ]
+
+    def derive_results(self, rows: DataFrame) -> DataFrame:
+        bt = F.col("test_keys.bootstrap_time")
+        fail = F.col("test_keys.failure")
+        return rows.filter(F.array_contains("tk_keys", "bootstrap_time")).withColumn(
+            "result",
+            F.when((bt == 0) & fail.isNotNull(), F.lit("bootstrapping_error"))
+            .when((bt > 0) & fail.isNotNull(), F.lit("usage_error"))
+            .when((bt > 0) & fail.isNull(), F.lit("working"))
+            .otherwise(F.lit("invalid")),
+        )
+
+
+class OoniTor(OoniCrawler):
+    """ref iyp/crawlers/ooni/tor.py:15-106: one result per (measurement,
+    target); per-(asn,country,target-ip) CENSORED + per-IP protocol-tag
+    CATEGORIZED."""
+
+    NAME = "ooni.tor"
+    DATASET = "tor"
+    CATEGORIES = ["ok", "failure"]
+    EXPECTED_PREDS = ["CENSORED", "CATEGORIZED"]
+    PROTOCOLS = ["or_port_dirauth", "dir_port", "obfs4", "or_port"]
+    TK_FIELDS = [
+        T.StructField("targets", T.MapType(T.StringType(), T.StructType([
+            T.StructField("target_address", T.StringType()),
+            T.StructField("failure", T.StringType()),
+            T.StructField("target_protocol", T.StringType()),
+        ]))),
+    ]
+
+    def transform(self, docs: DataFrame):
+        raw = self.base_parse(docs)
+        targets = (
+            self.result_rows(raw)
+            .select("asn", "cc", F.explode(F.map_values("test_keys.targets")).alias("t"))
+            # target_address is host:port; v6 hosts are bracketed (:33-36)
+            .withColumn(
+                "ip",
+                compress_ip(
+                    F.regexp_replace(
+                        F.regexp_replace(F.col("t.target_address"), r":[^:\]]*$", ""),
+                        r"^\[|\]$", "",
+                    )
+                ),
+            )
+            .filter(F.col("ip").isNotNull()
+                    & F.col("t.target_protocol").isin(self.PROTOCOLS))
+        )
+        mentions = self.m(
+            targets.withColumn(
+                "result",
+                F.when(F.col("t.failure").isNotNull() & (F.col("t.failure") != ""),
+                       F.lit("failure")).otherwise(F.lit("ok")),
+            ).withColumn(
+                "tag", F.concat(F.lit("OONI Probe Tor Tag "),
+                                F.col("t.target_protocol")),
+            )
+        )
+        categorized = mentions.dropDuplicates(["ip", "tag"])
+        censored = percentage_agg(
+            mentions, ["asn", "cc", "ip"], ["result"], self.CATEGORIES
+        )
+        nodes = self.base_nodes(raw, self.result_rows(raw)) + [
+            self.make_nodes(mentions, "IP", "ip"),
+            self.make_nodes(categorized, "Tag", "tag"),
+        ]
+        triples = self.country_triples(mentions) + [
+            self.make_triples(censored, "CENSORED", "AS", "asn", "IP", "ip",
+                              props_col=F.col("link_props")),
+            self.make_triples(categorized, "CATEGORIZED", "IP", "ip", "Tag", "tag"),
+        ]
+        return nodes, triples

@@ -27,7 +27,8 @@ class WorldBankCountryPop(SparkCrawler):
     URL = "https://api.worldbank.org/v2/country/all/indicator/SP.POP.TOTL"
     NAME = "worldbank.country_pop"
     EXPECTED_PREDS = ["POPULATION"]
-    NEEDS_EXISTING = True  # links only pre-existing Country nodes (:37)
+    NEEDS_EXISTING = True
+    WAVE = 3  # reads AS/Country nodes created by wave-2 crawlers (peeringdb.ix)  # links only pre-existing Country nodes (:37)
 
     def transform(self, docs: DataFrame):
         rec = (

@@ -274,8 +274,11 @@ def gen_tranco_top1m(scale: float = 1.0) -> list[FixtureDoc]:
 
 def gen_cisco_umbrella(scale: float = 1.0) -> list[FixtureDoc]:
     """FIXTURES.md §2.8 — ref iyp/crawlers/cisco/umbrella_top1m.py:59-122.
-    Mixes existing domains (tranco pool), new 2-label domains, and
-    3-label hostnames; a few invalid lines (no comma)."""
+    Mixes existing domains (tranco pool), new 2-label domains, 3-label
+    hostnames, and PSL-hard names (multi-label public suffixes like co.uk,
+    wildcard *.ck suffixes, the !www.ck exception, bare suffixes, unknown
+    TLDs) that a naive label-count heuristic misclassifies; a few invalid
+    lines (no comma)."""
     name = "cisco.umbrella_top1m"
     rng = _rng(name)
     pool = domain_pool()
@@ -287,14 +290,30 @@ def gen_cisco_umbrella(scale: float = 1.0) -> list[FixtureDoc]:
             line = f"{i + 1}"  # invalid: no comma → skipped
             rec = {"rank": i + 1, "name": None}
         else:
-            if r < 0.55:
+            w = rng.choice(ORG_WORDS).lower()
+            if r < 0.45:
                 nm = rng.choice(pool)  # likely existing DomainName
-            elif r < 0.75:
-                w = rng.choice(ORG_WORDS).lower()
+            elif r < 0.60:
                 nm = f"{w}{i}new.{rng.choice(TLDS)}"  # new 2-label domain
-            else:
+            elif r < 0.72:
                 sub = rng.choice(["www", "mail", "cdn", "api"])
                 nm = f"{sub}.{rng.choice(pool)}"  # hostname
+            elif r < 0.80:
+                # 3-label REGISTERED domain: DomainName despite label count
+                nm = f"{w}{i}.{rng.choice(['co.uk', 'com.au', 'co.jp', 'com.br'])}"
+            elif r < 0.85:
+                # 4-label host under a 2-label suffix
+                nm = f"www.{w}{i}.{rng.choice(['co.uk', 'org.uk', 'co.nz'])}"
+            elif r < 0.89:
+                # wildcard suffix (*.ck): shop.<x>.ck IS a registered domain,
+                # <x>.ck is itself a public suffix → HostName
+                nm = f"shop.{w}{i}.ck" if rng.random() < 0.5 else f"{w}{i}.ck"
+            elif r < 0.91:
+                nm = "www.ck"  # PSL exception rule !www.ck → DomainName
+            elif r < 0.95:
+                nm = rng.choice(["co.uk", "com.au", "ac.jp"])  # bare suffix
+            else:
+                nm = f"{w}{i}.unknowntld"  # no PSL rule → no registered domain
             line = f"{i + 1},{nm}"
             rec = {"rank": i + 1, "name": nm}
         docs.append(FixtureDoc(f"{name}/{i:06d}", name, _spans([("text", line)]), rec))
@@ -905,4 +924,231 @@ GENERATORS.update({
     "worldbank.country_pop": gen_worldbank_pop,
     "iana.root_zone": gen_iana_root_zone,
     "ripe.roa": gen_ripe_roa,
+})
+
+
+# ---------------------------------------------------------------- ooni
+
+OONI_CCS = ["US", "DE", "IR", "RU", "CN", "IN", "BR", "FR", "TR", "EG"]
+
+
+def _ooni_base(rng: random.Random) -> dict:
+    """Common OONI measurement skeleton (ref ooni/__init__.py:61-99):
+    probe_asn 'AS<n>' (3% hidden AS0), probe_cc (sometimes invalid or
+    missing), resolver_ip (global / private / malformed / missing)."""
+    asn = 0 if rng.random() < 0.03 else rng.choice(asn_pool()[:40])
+    rec = {"probe_asn": f"AS{asn}"}
+    r = rng.random()
+    if r < 0.85:
+        rec["probe_cc"] = rng.choice(OONI_CCS)
+    elif r < 0.93:
+        rec["probe_cc"] = "ZZ"  # not ISO 3166 → node skipped
+    r = rng.random()
+    if r < 0.50:
+        rec["resolver_ip"] = f"93.184.{rng.randint(0, 255)}.{rng.randint(1, 254)}"
+    elif r < 0.60:
+        rec["resolver_ip"] = f"10.{rng.randint(0, 255)}.0.1"  # private → dropped
+    elif r < 0.70:
+        rec["resolver_ip"] = "not-an-ip"
+    elif r < 0.82:
+        rec["resolver_ip"] = (
+            f"2606:2800:{rng.randint(1, 0xFFFF):x}::{rng.randint(1, 0xFFFF):x}"
+        )
+    return rec
+
+
+def _ooni_docs(name: str, records: list[dict]) -> list[FixtureDoc]:
+    return [
+        FixtureDoc(f"{name}/{i:06d}", name,
+                   _spans([("text", json.dumps(rec))]), rec)
+        for i, rec in enumerate(records)
+    ]
+
+
+def gen_ooni_webconnectivity(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref ooni/webconnectivity.py:29-103: URLs (hostname + IP-literal),
+    blocking/accessible decision table, DNS query answers."""
+    name = "ooni.webconnectivity"
+    rng = _rng(name)
+    hosts = domain_pool()[:25] + [f"www.{d}" for d in domain_pool()[25:35]]
+    n = int(600 * scale)
+    records = []
+    for i in range(n):
+        rec = _ooni_base(rng)
+        r = rng.random()
+        if r < 0.02:
+            rec["test_keys"] = None
+        elif r < 0.03:
+            rec["test_keys"] = {}
+        elif r < 0.05:
+            rec["input"] = f"https://{rng.choice(hosts)}/"
+            rec["test_keys"] = {"accessible": True}  # missing 'blocking' → pop
+        else:
+            is_ip_url = rng.random() < 0.12
+            if is_ip_url:
+                host = f"93.184.{rng.randint(0, 9)}.{rng.randint(1, 9)}"
+                url = (f"https://{host}:8443/x" if rng.random() < 0.3
+                       else f"http://{host}/x")
+            else:
+                host = rng.choice(hosts)
+                url = f"https://{host}/page{i % 4}"
+            rec["input"] = url
+            kind = rng.random()
+            if kind < 0.5:
+                tk = {"blocking": False, "accessible": True}     # ok
+            elif kind < 0.65:
+                tk = ({"blocking": None, "accessible": None}
+                      if rng.random() < 0.5
+                      else {"blocking": False, "accessible": False})  # failure
+            elif kind < 0.85:
+                tk = {"blocking": rng.choice(["dns", "tcp_ip", "http-failure",
+                                              "http-diff"]),
+                      "accessible": False}                        # confirmed
+            else:
+                tk = {"blocking": "dns", "accessible": True}      # anomaly
+            if not is_ip_url and rng.random() < 0.03:
+                pass  # no 'queries' key → pop (ref :63-66)
+            else:
+                answers = []
+                for _ in range(rng.randint(1, 2)):
+                    a = rng.random()
+                    if a < 0.55:
+                        answers.append({"answer_type": "A",
+                                        "ipv4": f"93.184.{rng.randint(0, 20)}"
+                                                f".{rng.randint(1, 200)}"})
+                    elif a < 0.70:
+                        answers.append({"answer_type": "AAAA",
+                                        "ipv6": f"2606:2800:{rng.randint(1, 50):x}"
+                                                f"::{rng.randint(1, 99):x}"})
+                    elif a < 0.80:
+                        answers.append({"answer_type": "A",
+                                        "ipv4": f"10.{rng.randint(0, 9)}.0.7"})
+                    elif a < 0.90:
+                        answers.append({"answer_type": "A", "ipv4": ""})  # scrubbed
+                    else:
+                        answers.append({"answer_type": "CNAME"})
+                q = {"query_type": rng.choice(["A", "AAAA", "CNAME"]),
+                     "hostname": host,
+                     "failure": ("dns_nxdomain_error"
+                                 if rng.random() < 0.08 else None),
+                     "answers": answers}
+                tk["queries"] = [q]
+            rec["test_keys"] = tk
+        records.append(rec)
+    return _ooni_docs(name, records)
+
+
+def gen_ooni_telegram(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref ooni/telegram.py:16-63."""
+    name = "ooni.telegram"
+    rng = _rng(name)
+    records = []
+    for _ in range(int(300 * scale)):
+        rec = _ooni_base(rng)
+        if rng.random() < 0.02:
+            rec["test_keys"] = None
+        else:
+            rec["test_keys"] = {
+                "telegram_http_blocking": rng.random() < 0.2,
+                "telegram_tcp_blocking": rng.random() < 0.15,
+                "telegram_web_status": rng.choice(["ok", "ok", "blocked", None]),
+            }
+        records.append(rec)
+    return _ooni_docs(name, records)
+
+
+def gen_ooni_whatsapp(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref ooni/whatsapp.py:18-62."""
+    name = "ooni.whatsapp"
+    rng = _rng(name)
+    records = []
+    for _ in range(int(300 * scale)):
+        rec = _ooni_base(rng)
+        if rng.random() < 0.02:
+            rec["test_keys"] = None
+        else:
+            rec["test_keys"] = {
+                "registration_server_status": rng.choice(["ok", "ok", "blocked"]),
+                "whatsapp_endpoints_status": rng.choice(["ok", "ok", "blocked"]),
+                "whatsapp_web_status": rng.choice(["ok", "ok", "ok", "blocked"]),
+            }
+        records.append(rec)
+    return _ooni_docs(name, records)
+
+
+def gen_ooni_signal(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref ooni/osignal.py:15-33: null status → pop."""
+    name = "ooni.signal"
+    rng = _rng(name)
+    records = []
+    for _ in range(int(250 * scale)):
+        rec = _ooni_base(rng)
+        if rng.random() < 0.02:
+            rec["test_keys"] = None
+        else:
+            rec["test_keys"] = {
+                "signal_backend_status": rng.choice(
+                    ["ok", "ok", "ok", "blocked", None])
+            }
+        records.append(rec)
+    return _ooni_docs(name, records)
+
+
+def gen_ooni_psiphon(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref ooni/psiphon.py:15-49: bootstrap_time × failure 4-way."""
+    name = "ooni.psiphon"
+    rng = _rng(name)
+    records = []
+    for _ in range(int(250 * scale)):
+        rec = _ooni_base(rng)
+        r = rng.random()
+        if r < 0.02:
+            rec["test_keys"] = None
+        elif r < 0.05:
+            rec["test_keys"] = {"failure": None}  # no bootstrap_time → pop
+        else:
+            bt = 0.0 if rng.random() < 0.3 else round(rng.uniform(0.5, 9.0), 3)
+            fail = "connection_reset" if rng.random() < 0.25 else None
+            rec["test_keys"] = {"bootstrap_time": bt, "failure": fail}
+        records.append(rec)
+    return _ooni_docs(name, records)
+
+
+def gen_ooni_tor(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref ooni/tor.py:15-55: targets dict keyed by fingerprint; host:port
+    addresses (v6 bracketed); protocol filter."""
+    name = "ooni.tor"
+    rng = _rng(name)
+    protos = ["or_port_dirauth", "dir_port", "obfs4", "or_port", "unknown_proto"]
+    target_ips = ([f"199.58.81.{i}" for i in range(1, 30)]
+                  + [f"2610:1c1:3:{i:x}::42" for i in range(1, 10)])
+    records = []
+    for _ in range(int(250 * scale)):
+        rec = _ooni_base(rng)
+        if rng.random() < 0.02:
+            rec["test_keys"] = None
+        else:
+            targets = {}
+            for t in range(rng.randint(1, 4)):
+                ip = rng.choice(target_ips)
+                addr = f"[{ip}]:{rng.choice([443, 9001])}" if ":" in ip \
+                    else f"{ip}:{rng.choice([443, 9001])}"
+                targets[f"fp{t}{rng.randint(0, 999)}"] = {
+                    "target_address": addr,
+                    "failure": ("generic_timeout_error"
+                                if rng.random() < 0.3 else None),
+                    "target_protocol": rng.choice(protos),
+                }
+            rec["test_keys"] = {"targets": targets}
+        records.append(rec)
+    return _ooni_docs(name, records)
+
+
+GENERATORS.update({
+    "ooni.webconnectivity": gen_ooni_webconnectivity,
+    "ooni.telegram": gen_ooni_telegram,
+    "ooni.whatsapp": gen_ooni_whatsapp,
+    "ooni.signal": gen_ooni_signal,
+    "ooni.psiphon": gen_ooni_psiphon,
+    "ooni.tor": gen_ooni_tor,
 })

@@ -193,15 +193,19 @@ class SparkCrawler:
         try:
             with StageTimer(self.store, self.NAME, "parse", run_id):
                 node_dfs, triple_dfs = self.transform(docs)
-                # materialize every derived output BEFORE writing: transforms
-                # that read the node dictionary (S8, e.g. umbrella's
-                # DomainName preference) would otherwise re-read partitions
-                # our own upsert is about to replace
-                node_dfs = [nd.localCheckpoint(eager=True) for nd in node_dfs]
                 triples = triple_dfs[0]
                 for extra in triple_dfs[1:]:
                     triples = triples.unionByName(extra)
-                triples = triples.localCheckpoint(eager=True)
+                # only transforms that READ the graph (S8 seed scans,
+                # NEEDS_EXISTING) must materialize their outputs BEFORE
+                # writing — they would otherwise re-read node/triple
+                # partitions our own upsert is about to replace. Everyone
+                # else skips the eager checkpoint: it doubles I/O for no
+                # safety benefit (the persisted mentions already share the
+                # parse between the node and triple subtrees).
+                if getattr(self, "NEEDS_EXISTING", False):
+                    node_dfs = [nd.localCheckpoint(eager=True) for nd in node_dfs]
+                    triples = triples.localCheckpoint(eager=True)
             with StageTimer(self.store, self.NAME, "link_nodes", run_id) as t:
                 n_nodes = 0
                 for nd in node_dfs:
@@ -289,9 +293,18 @@ def run_pipeline_batched(store: GraphStore, crawlers: list[type[SparkCrawler]],
     build; the per-crawler `run_pipeline` loop is the checkpointed/resumable
     path (use it when you need partition-level restart)."""
     # crawlers that read the node dictionary (S8 seed scans) must see the
-    # first wave's output on disk — run them per-crawler after the batch
-    wave1 = [c for c in crawlers if not getattr(c, "NEEDS_EXISTING", False)]
-    wave2 = [c for c in crawlers if getattr(c, "NEEDS_EXISTING", False)]
+    # previous waves' output on disk. WAVE declares the scheduling tier:
+    # 1 = no graph reads; 2 = reads wave-1 output; 3 = reads output of
+    # wave-2 crawlers too (nro links ASes that peeringdb.ix creates,
+    # worldbank links Countries from the same).
+    def _wave(c) -> int:
+        return getattr(c, "WAVE", 2 if getattr(c, "NEEDS_EXISTING", False) else 1)
+
+    wave1 = [c for c in crawlers if _wave(c) == 1]
+    later_waves = [
+        [c for c in crawlers if _wave(c) == w]
+        for w in sorted({_wave(c) for c in crawlers} - {1})
+    ]
     all_docs = store.read_documents()  # one listing, filtered per crawler
     all_nodes = None
     all_triples = None
@@ -342,11 +355,38 @@ def run_pipeline_batched(store: GraphStore, crawlers: list[type[SparkCrawler]],
     store.spark.catalog.clearCache()  # drop persisted mention sets
     for name in names:
         store.log_lineage(name, "materialize", n_triples, dt, run_id=run_id)
-    for cls in wave2:
-        crawler = cls(store)
-        res = crawler.run(run_id=run_id)
-        n_nodes += res["nodes"]
-        n_triples += res["triples"]
+    # ---- later waves: crawlers that read the already-built graph ----
+    # Per wave: materialize every transform first (they read dictionary /
+    # triple partitions the writes below will replace), then merge ALL the
+    # wave's node outputs in ONE upsert — per-crawler upserts would each
+    # re-read and rewrite the whole touched dictionary, O(crawlers ×
+    # dictionary bytes) as the crawler count grows.
+    for wave in later_waves:
+        w_nodes = None
+        w_triples: dict[str, DataFrame] = {}
+        for cls in wave:
+            crawler = cls(store)
+            crawler.cache_mentions = True
+            node_dfs, triple_dfs = crawler.transform(
+                all_docs.filter(F.col("crawler") == crawler.NAME)
+            )
+            for nd in node_dfs:
+                nd = nd.localCheckpoint(eager=True)
+                w_nodes = nd if w_nodes is None else w_nodes.unionByName(nd)
+            ct = triple_dfs[0]
+            for td in triple_dfs[1:]:
+                ct = ct.unionByName(td)
+            w_triples[crawler.NAME] = ct.localCheckpoint(eager=True)
+        if w_nodes is not None:
+            n2 = store.upsert_nodes(w_nodes, count_rows=count_rows)
+            if count_rows:
+                n_nodes += n2
+        for name, ct in w_triples.items():
+            nt = store.replace_triples(name, ct, count_rows=count_rows)
+            if count_rows:
+                n_triples += nt
+            store.log_lineage(name, "materialize", nt, 0.0, run_id=run_id)
+        store.spark.catalog.clearCache()
     return {"nodes": n_nodes, "triples": n_triples, "seconds": dt}
 
 

@@ -109,8 +109,11 @@ def golden_umbrella(
     docs: list[FixtureDoc], existing_domains: set[str], existing_hosts: set[str]
 ) -> set[Triple]:
     """ref cisco/umbrella_top1m.py:59-122: preference (1) existing DomainName
-    (2) existing HostName (3) classify: registered domain → DomainName else
-    HostName. Fixture names are 2-label registered domains or 3-label hosts."""
+    (2) existing HostName (3) classify via the Public Suffix List: name ==
+    tldextract registered_domain → DomainName else HostName (so example.co.uk
+    is a DomainName despite its 3 labels, and a bare suffix is a HostName)."""
+    from .psl import py_registered_domain
+
     out = set()
     for d in docs:
         name = d.record["name"]
@@ -120,7 +123,7 @@ def golden_umbrella(
             label = "DomainName"
         elif name in existing_hosts:
             label = "HostName"
-        elif name.count(".") == 1:  # == tldextract registered_domain for fixture
+        elif name == py_registered_domain(name):
             label = "DomainName"
         else:
             label = "HostName"
@@ -525,3 +528,139 @@ GOLDEN.update({
     "ripe.roa": golden_ripe_roa,
 })
 # worldbank.country_pop needs the existing Country set (test harness).
+
+
+# ---------------------------------------------------------------- ooni
+
+def _ooni_base_parse(docs: list[FixtureDoc]):
+    """Mirror of OoniCrawler.process_one_line's shared part
+    (ooni/__init__.py:61-113): yields (record, asn, cc) for lines that
+    produce results; collects resolver IPs on the side."""
+    from .canon import ISO3166_ALPHA2
+
+    rows = []
+    resolvers = set()
+    for d in docs:
+        o = d.record
+        if not o.get("test_keys"):
+            continue
+        asn = int(o["probe_asn"].removeprefix("AS"))
+        try:
+            rip = ipaddress.ip_address(o.get("resolver_ip"))
+            if rip.is_global:
+                resolvers.add(rip.compressed)
+        except (ValueError, TypeError):
+            pass
+        if asn == 0:
+            continue
+        cc = o.get("probe_cc")
+        if cc not in ISO3166_ALPHA2:
+            cc = None
+        rows.append((o, asn, cc))
+    return rows, resolvers
+
+
+def golden_ooni_webconnectivity(docs: list[FixtureDoc]) -> set[Triple]:
+    """ref ooni/webconnectivity.py:29-158 + ooni/__init__.py:115-152."""
+    from urllib.parse import urlparse
+
+    rows, _ = _ooni_base_parse(docs)
+    out = set()
+    for o, asn, cc in rows:
+        tk = o["test_keys"]
+        if "blocking" not in tk or "accessible" not in tk:
+            continue
+        url = o["input"]
+        hostname = urlparse(url).hostname
+        try:
+            ipaddress.ip_address(hostname)
+            is_ip = True
+            ip_comp = ipaddress.ip_address(hostname).compressed
+        except ValueError:
+            is_ip = False
+        if not is_ip:
+            if "queries" not in tk:
+                continue
+            for q in tk["queries"]:
+                if q["query_type"] not in ("A", "AAAA") or q["failure"]:
+                    continue
+                for a in q["answers"]:
+                    try:
+                        if a["answer_type"] == "A":
+                            ip = ipaddress.ip_address(a["ipv4"])
+                        elif a["answer_type"] == "AAAA":
+                            ip = ipaddress.ip_address(a["ipv6"])
+                        else:
+                            continue
+                    except (ValueError, KeyError):
+                        continue
+                    if not ip.is_global:
+                        continue
+                    out.add(_t("HostName", q["hostname"], "RESOLVES_TO",
+                               "IP", ip.compressed))
+        else:
+            out.add(_t("IP", ip_comp, "PART_OF", "URL", url))
+        out.add(_t("AS", asn, "CENSORED", "URL", url))
+        if cc:
+            out.add(_t("AS", asn, "COUNTRY", "Country", cc))
+    return out
+
+
+def _golden_ooni_tag(docs: list[FixtureDoc], tag: str,
+                     keep) -> set[Triple]:
+    rows, _ = _ooni_base_parse(docs)
+    return {
+        _t("AS", asn, "CENSORED", "Tag", tag)
+        for o, asn, cc in rows
+        if keep(o["test_keys"])
+    }
+
+
+def golden_ooni_telegram(docs):
+    """ref ooni/telegram.py — all non-skipped lines produce a result."""
+    return _golden_ooni_tag(docs, "OONI Telegram Test", lambda tk: True)
+
+
+def golden_ooni_whatsapp(docs):
+    return _golden_ooni_tag(docs, "OONI WhatsApp Test", lambda tk: True)
+
+
+def golden_ooni_signal(docs):
+    """ref ooni/osignal.py:27-30: null status popped."""
+    return _golden_ooni_tag(
+        docs, "OONI Signal Test",
+        lambda tk: tk.get("signal_backend_status") is not None)
+
+
+def golden_ooni_psiphon(docs):
+    """ref ooni/psiphon.py:31-33: missing bootstrap_time popped."""
+    return _golden_ooni_tag(
+        docs, "OONI Psiphon Test", lambda tk: "bootstrap_time" in tk)
+
+
+def golden_ooni_tor(docs: list[FixtureDoc]) -> set[Triple]:
+    """ref ooni/tor.py:25-106: per-target results; protocol-tag filter."""
+    tags = {t: f"OONI Probe Tor Tag {t}"
+            for t in ["or_port_dirauth", "dir_port", "obfs4", "or_port"]}
+    rows, _ = _ooni_base_parse(docs)
+    out = set()
+    for o, asn, cc in rows:
+        for td in o["test_keys"]["targets"].values():
+            ip = ipaddress.ip_address(
+                td["target_address"].rsplit(":", 1)[0].strip("[]")
+            ).compressed
+            if td["target_protocol"] not in tags:
+                continue
+            out.add(_t("IP", ip, "CATEGORIZED", "Tag", tags[td["target_protocol"]]))
+            out.add(_t("AS", asn, "CENSORED", "IP", ip))
+    return out
+
+
+GOLDEN.update({
+    "ooni.webconnectivity": golden_ooni_webconnectivity,
+    "ooni.telegram": golden_ooni_telegram,
+    "ooni.whatsapp": golden_ooni_whatsapp,
+    "ooni.signal": golden_ooni_signal,
+    "ooni.psiphon": golden_ooni_psiphon,
+    "ooni.tor": golden_ooni_tor,
+})

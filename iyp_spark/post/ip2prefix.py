@@ -6,16 +6,16 @@ label (search_best); every prefix is additionally linked to its least-
 enclosing covering prefix per label (same-label uses the /len-1 trick to
 exclude the node itself); all prefixes get network/prefixlen props.
 
-Spark rewrite (SURVEY §J4/J5): the radix tree becomes a **bucketed interval
-join**:
+Spark rewrite (SURVEY §J4/J5): the radix tree becomes the shared fine/coarse
+bucketed interval join in iyp_spark/lpm.py —
 
-- each prefix → integer [start, end] bounds + prefixlen + af (Arrow UDF);
-- probes (IPs or child prefixes) and build side both get a coarse BUCKET
-  (v4: the /8 octet, v6: the first hextet); prefixes shorter than the
-  bucket width explode into the buckets they span — so the join is an
-  EQUI-join on (af, bucket) with the range predicate as a residual filter,
-  never a cartesian product (this is what keeps it sub-quadratic at 10^12
+- FINE prefixes (>= bucket width: /8 v4, /16 v6) occupy exactly one coarse
+  bucket, so probe→prefix candidates come from an EQUI-join on (af, bucket)
+  with the range containment as a residual filter (sub-quadratic at 10^12
   scale; the bucket width is the knob);
+- COARSE prefixes (a provably tiny set) broadcast-range-join directly —
+  no bucket explosion for short prefixes (::/0 would have emitted 2^16
+  exploded rows under the old design);
 - most-specific = row_number over (probe, tree-label) ordered by prefixlen
   desc → rank 1 (W1).
 """
@@ -23,23 +23,14 @@ join**:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+from pyspark.sql import functions as F
 
-from ..canon import ip_to_int, prefix_bounds
 from ..framework import FIXED_FETCH_TIME
+from ..lpm import V4_BUCKET_BITS, V6_BUCKET_BITS, lpm_candidates, prefix_intervals, probe_hex
 from ..store import GraphStore
 
 NAME = "iyp.ip2prefix"
-V4_BUCKET = 2 ** 24  # /8
-V6_BUCKET = 2 ** 112  # first hextet
-
-
-def _bucket_width(af_col):
-    """Bucket divisor as a decimal literal (2^112 overflows a JVM long)."""
-    return F.when(
-        af_col == 4, F.lit(str(V4_BUCKET)).cast("decimal(38,0)")
-    ).otherwise(F.lit(str(V6_BUCKET)).cast("decimal(38,0)"))
 
 
 class Ip2Prefix:
@@ -65,27 +56,10 @@ class Ip2Prefix:
         nodes = self.store.read_nodes().filter(
             F.array_contains("labels", "Prefix") & (F.col("label") != "Prefix")
         )
-        b = nodes.select(
-            "label", F.col("key").alias("prefix"), "node_id",
-            prefix_bounds(F.col("key")).alias("b"),
-        ).select(
-            "label", "prefix", "node_id",
-            F.col("b.start").alias("start"), F.col("b.end").alias("end"),
-            F.col("b.prefixlen").alias("prefixlen"), F.col("b.af").alias("af"),
-        ).filter(F.col("start").isNotNull())
-        width = _bucket_width(F.col("af"))
-        return b.withColumn(
-            "bucket",
-            F.explode(
-                F.sequence(
-                    (F.col("start") / width).cast("long"),
-                    (F.col("end") / width).cast("long"),
-                )
-            ),
+        return prefix_intervals(
+            nodes.select("label", F.col("key").alias("prefix"), "node_id"),
+            "prefix",
         )
-
-    def _probe_bucket(self, col_int, af_col):
-        return (col_int / _bucket_width(af_col)).cast("long")
 
     def run(self) -> dict:
         pfx = self._prefix_table().localCheckpoint(eager=True)
@@ -105,19 +79,10 @@ class Ip2Prefix:
         ref = self.reference_col()
 
         # ---- IP → most-specific prefix per label tree (J4) ----
-        ips = self.store.read_nodes("IP").select(
-            F.col("key").alias("ip"), ip_to_int(F.col("key")).alias("ip_int")
-        ).filter(F.col("ip_int").isNotNull()).withColumn(
-            "ip_af", F.when(F.col("ip").contains(":"), 6).otherwise(4)
-        ).withColumn("ip_bucket", self._probe_bucket(F.col("ip_int"), F.col("ip_af")))
-
-        cand = ips.join(
-            pfx,
-            (ips.ip_af == pfx.af)
-            & (ips.ip_bucket == pfx.bucket)
-            & (ips.ip_int >= pfx.start)
-            & (ips.ip_int <= pfx.end),
+        ips = probe_hex(
+            self.store.read_nodes("IP").select(F.col("key").alias("ip")), "ip"
         )
+        cand = lpm_candidates(ips, pfx)
         w = W.partitionBy("ip", "label").orderBy(F.desc("prefixlen"), F.asc("prefix"))
         ip_links = (
             cand.withColumn("rn", F.row_number().over(w))
@@ -136,30 +101,42 @@ class Ip2Prefix:
         )
 
         # ---- prefix → least-enclosing covering prefix per label (J5) ----
+        # A covering parent has prefixlen <= the child's, so: fine children
+        # can only be covered by fine parents in the SAME bucket (equi-join)
+        # or by coarse parents (broadcast); coarse children only by coarse
+        # parents (the broadcast side again).
         child = pfx.select(
             F.col("label").alias("c_label"), F.col("prefix").alias("c_prefix"),
             F.col("node_id").alias("c_id"), F.col("start").alias("c_start"),
             F.col("end").alias("c_end"), F.col("prefixlen").alias("c_plen"),
             F.col("af").alias("c_af"), F.col("bucket").alias("c_bucket"),
-        ).dropDuplicates(["c_label", "c_prefix", "c_bucket"]).filter(F.col("c_plen") > 0)
-        parent = pfx.withColumnRenamed("bucket", "p_bucket")
-        cand2 = child.join(
-            parent,
-            (child.c_af == parent.af)
-            & (child.c_bucket == parent.p_bucket)
-            & (parent.start <= child.c_start)
-            & (parent.end >= child.c_end)
-            & (
-                # same label: strictly larger prefix (the /len-1 trick, :91-93);
-                # cross label: may be the very same prefix (:94-96)
-                F.when(child.c_label == parent.label,
-                       parent.prefixlen < child.c_plen)
-                .otherwise(
-                    (parent.prefixlen < child.c_plen)
-                    | ((parent.prefixlen == child.c_plen)
-                       & (parent.prefix == child.c_prefix))
-                )
-            ),
+            F.col("is_coarse").alias("c_coarse"),
+        ).filter(F.col("c_plen") > 0)
+        covers = (
+            # same label: strictly larger prefix (the /len-1 trick, :91-93);
+            # cross label: may be the very same prefix (:94-96)
+            (F.col("start") <= F.col("c_start"))
+            & (F.col("end") >= F.col("c_end"))
+            & F.when(F.col("c_label") == F.col("label"),
+                     F.col("prefixlen") < F.col("c_plen"))
+            .otherwise(
+                (F.col("prefixlen") < F.col("c_plen"))
+                | ((F.col("prefixlen") == F.col("c_plen"))
+                   & (F.col("prefix") == F.col("c_prefix")))
+            )
+        )
+        fine_parent = pfx.filter(~F.col("is_coarse"))
+        coarse_parent = pfx.filter(F.col("is_coarse")).drop("bucket", "is_coarse")
+        cand2 = (
+            child.filter(~F.col("c_coarse"))
+            .join(fine_parent,
+                  (F.col("c_af") == fine_parent.af)
+                  & (F.col("c_bucket") == fine_parent.bucket) & covers)
+            .drop("bucket", "is_coarse")
+            .unionByName(
+                child.join(F.broadcast(coarse_parent),
+                           (F.col("c_af") == coarse_parent.af) & covers)
+            )
         )
         w2 = W.partitionBy("c_label", "c_prefix", "label").orderBy(
             F.desc("prefixlen"), F.asc("prefix")
@@ -167,8 +144,6 @@ class Ip2Prefix:
         pfx_links = (
             cand2.withColumn("rn", F.row_number().over(w2))
             .filter("rn = 1")
-            # a prefix's bucket-exploded copies would duplicate links
-            .dropDuplicates(["c_label", "c_prefix", "label", "prefix"])
             .select(
                 F.col("c_id").alias("subj_id"),
                 F.lit("PART_OF").alias("pred"),

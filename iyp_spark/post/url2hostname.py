@@ -2,9 +2,13 @@
 HostName node.
 
 Reference: iyp/post/url2hostname.py:13-39 — tldextract.extract(url).fqdn
-per URL, linked only when the HostName exists (dict .get). Here the fqdn
-extraction is a native regexp (authority part of the URL, lowered); the
-existence test is the inner join itself.
+per URL, linked only when the HostName exists (dict .get). Here the host
+is extracted with a native regexp (authority part of the URL, lowered,
+ports/userinfo stripped), then validated against the Public Suffix List
+(psl.with_registered_domain): tldextract's .fqdn is non-empty only when
+the host has both a public suffix and a domain label, so IP-literal hosts
+and unknown TLDs drop out exactly like the reference. The existence test
+is the inner join itself.
 """
 
 from __future__ import annotations
@@ -12,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..framework import FIXED_FETCH_TIME
+from ..psl import with_registered_domain
 from ..store import GraphStore
 
 NAME = "iyp.url2hostname"
@@ -28,9 +33,16 @@ class Url2Hostname:
         self.store = store
 
     def run(self) -> dict:
-        urls = self.store.read_nodes("URL").select(
-            F.col("key").alias("url"), F.col("node_id").alias("url_id")
-        ).withColumn("fqdn", F.lower(F.regexp_extract("url", _HOST_RE, 1)))
+        urls = with_registered_domain(
+            self.store.read_nodes("URL").select(
+                F.col("key").alias("url"), F.col("node_id").alias("url_id")
+            ).withColumn("url_host", F.lower(F.regexp_extract("url", _HOST_RE, 1))),
+            "url_host",
+        ).withColumn(
+            # tldextract .fqdn: the host itself iff suffix AND domain exist
+            "fqdn",
+            F.when(F.col("registered_domain").isNotNull(), F.col("url_host")),
+        )
         hosts = self.store.read_nodes("HostName").select(
             F.col("key").alias("host"), F.col("node_id").alias("host_id")
         )

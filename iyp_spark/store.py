@@ -109,18 +109,26 @@ class GraphStore:
         """
         df = df.select([f.name for f in NODES_SCHEMA.fields])
         fresh = not _exists(self.nodes_path)
+        # _ord: monotonic ordinal within the incoming batch — tie-breaker so
+        # that two values for the same (label,key,prop) in ONE batch resolve
+        # deterministically to the later row (the reference's sequential
+        # ``SET a += props`` is last-writer-wins; max_by on _gen alone would
+        # pick nondeterministically between same-generation rows)
+        incoming = df.withColumn("_gen", F.lit(1)).withColumn(
+            "_ord", F.monotonically_increasing_id()
+        )
         if fresh:
             # fresh store: pure insert — no read-merge, no self-overwrite
             # hazard, single pass (the common case in the batched build)
-            union = df.withColumn("_gen", F.lit(1)).withColumn(
+            union = incoming.withColumn(
                 "labels", F.coalesce(F.col("labels"), F.array(F.col("label")))
             )
         else:
             touched = [r["label"] for r in df.select("label").distinct().collect()]
             existing = self.read_nodes().filter(F.col("label").isin(touched))
             union = (
-                existing.withColumn("_gen", F.lit(0))
-                .unionByName(df.withColumn("_gen", F.lit(1)))
+                existing.withColumn("_gen", F.lit(0)).withColumn("_ord", F.lit(0).cast("long"))
+                .unionByName(incoming)
                 .withColumn(
                     "labels", F.coalesce(F.col("labels"), F.array(F.col("label")))
                 )
@@ -134,12 +142,12 @@ class GraphStore:
         # per-prop-key merge, later generation wins (== reference SET a += props)
         props = (
             union.select(
-                "label", "key", "_gen",
+                "label", "key", "_gen", "_ord",
                 F.explode_outer("props").alias("pk", "pv"),
             )
             .filter(F.col("pk").isNotNull())
             .groupBy("label", "key", "pk")
-            .agg(F.max_by("pv", F.col("_gen")).alias("pv"))
+            .agg(F.max_by("pv", F.struct("_gen", "_ord")).alias("pv"))
             .groupBy("label", "key")
             .agg(
                 F.map_from_entries(
@@ -196,24 +204,66 @@ class GraphStore:
 
         Iceberg equivalent: ``overwritePartitions()`` /
         ``DELETE WHERE reference_name = X`` + append.
+
+        The write goes DIRECTLY into this crawler's partition directory
+        (``.../reference_name=<X>/``), not through dynamic partition
+        overwrite on the table root: each writer then owns its own output
+        dir + staging, so concurrent per-crawler writes (the batched
+        runner's thread pool) never race on a shared commit — Spark's file
+        commit protocol is per-path, not multi-writer-safe on one root.
         """
+        part_dir = os.path.join(self.triples_path,
+                                f"reference_name={reference_name}")
         out = df.withColumn(
             "reference_name", F.col("reference.reference_name")
-        ).select([f.name for f in TRIPLES_SCHEMA.fields])
-        fresh = not _exists(os.path.join(self.triples_path,
-                                         f"reference_name={reference_name}"))
+        ).select([f.name for f in TRIPLES_SCHEMA.fields]).drop("reference_name")
+        fresh = not _exists(part_dir)
         if not fresh:
             # post-processors derive triples FROM the triples table; truncate
             # lineage before overwriting the partition being read
             out = out.localCheckpoint(eager=True)
         n = out.count() if (count_rows or not fresh) else -1
-        # dynamic partitionOverwriteMode → only reference_name=<X> dirs replaced
         (
             out.repartition(F.col("pred"), F.pmod(F.col("subj_id"), F.lit(16)))
             .write.mode("overwrite")
-            .partitionBy("reference_name")
-            .parquet(self.triples_path)
+            .parquet(part_dir)
         )
+        return n
+
+    def append_triples_batch(self, reference_name: str, df: DataFrame,
+                             batch_id: int) -> int:
+        """Idempotent micro-batch append for streaming ingest: files land in
+        the crawler's partition dir under deterministic names keyed by
+        ``batch_id``, so a foreachBatch REPLAY (at-least-once semantics:
+        crash between write and checkpoint commit) REPLACES the batch's
+        files instead of duplicating them. On Iceberg this is the
+        idempotent-commit-by-batch-id pattern.
+        """
+        import glob
+        import shutil
+
+        out = df.withColumn(
+            "reference_name", F.col("reference.reference_name")
+        ).select([f.name for f in TRIPLES_SCHEMA.fields]).drop("reference_name")
+        staging = os.path.join(self.root, f"_staging_b{batch_id}_{uuid.uuid4().hex}")
+        out.write.mode("overwrite").parquet(staging)
+        part_dir = os.path.join(self.triples_path,
+                                f"reference_name={reference_name}")
+        os.makedirs(part_dir, exist_ok=True)
+        # drop any files a previous (crashed) attempt of this batch left
+        for old in glob.glob(os.path.join(part_dir, f"batch{batch_id:08d}_*.parquet")):
+            os.remove(old)
+        n = 0
+        files = sorted(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        for i, fname in enumerate(files):
+            os.replace(
+                os.path.join(staging, fname),
+                os.path.join(part_dir, f"batch{batch_id:08d}_{i:05d}.parquet"),
+            )
+            n += 1
+        shutil.rmtree(staging, ignore_errors=True)
         return n
 
     def replace_triples_multi(self, df: DataFrame, count_rows: bool = True) -> int:

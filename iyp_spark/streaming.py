@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .schema import DOCUMENTS_SCHEMA, TRIPLES_SCHEMA
+from .schema import DOCUMENTS_SCHEMA
 from .store import GraphStore
 
 
@@ -67,18 +67,15 @@ def incremental_triples(
         triples = triple_dfs[0]
         for extra in triple_dfs[1:]:
             triples = triples.unionByName(extra)
-        out = (
-            triples.withColumn("reference_name", F.col("reference.reference_name"))
-            .select([f.name for f in TRIPLES_SCHEMA.fields])
-        )
-        (
-            out.write.mode("append")
-            .partitionBy("reference_name")
-            .parquet(store.triples_path)
-        )
+        # foreachBatch is at-least-once: a crash between the write and the
+        # stream-checkpoint commit replays this batch. append_triples_batch
+        # writes files under deterministic batch-keyed names, so the replay
+        # REPLACES them (no silent duplicates); the node upsert is a
+        # key-merge and therefore idempotent by construction.
+        n = store.append_triples_batch(crawler.NAME, triples, batch_id)
         for nd in node_dfs:
             store.upsert_nodes(nd, count_rows=False)
-        store.log_lineage(crawler.NAME, f"stream_batch_{batch_id}", -1, 0.0)
+        store.log_lineage(crawler.NAME, f"stream_batch_{batch_id}", n, 0.0)
 
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)

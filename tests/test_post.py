@@ -15,13 +15,17 @@ from iyp_spark.schema import NODES_SCHEMA, TRIPLES_SCHEMA
 from iyp_spark.store import GraphStore
 
 PREFIXES = {
+    # fe80::/10 and fc00::/7 are COARSE (shorter than the /16 v6 bucket) and
+    # live above 10^38 — they overflow a decimal(38,0) representation and
+    # exercise the broadcast-range path; 8.0.0.0/6 is the v4 coarse case.
     "BGPPrefix": ["10.0.0.0/8", "10.1.0.0/16", "10.1.2.0/24", "192.168.0.0/16",
-                  "2001:db8::/32", "2001:db8:1::/48"],
+                  "2001:db8::/32", "2001:db8:1::/48", "fe80::/10", "8.0.0.0/6"],
     "GeoPrefix": ["10.1.0.0/16", "172.16.0.0/12"],
-    "RIRPrefix": ["10.0.0.0/8", "2001:db8::/32"],
+    "RIRPrefix": ["10.0.0.0/8", "2001:db8::/32", "fc00::/7"],
 }
 IPS = ["10.1.2.3", "10.1.9.9", "10.9.9.9", "172.16.5.5", "9.9.9.9",
-       "2001:db8:1::42", "2001:db8:ffff::1", "2a01::1"]
+       "2001:db8:1::42", "2001:db8:ffff::1", "2a01::1",
+       "fe80::1234", "fdab:1234::1", "ff02::fb"]
 
 
 def seed_store(spark) -> GraphStore:
@@ -36,9 +40,14 @@ def seed_store(spark) -> GraphStore:
     for cc in ["JP", "US", "XX", "DE"]:
         rows.append(("Country", cc, 0, ["Country"], None))
     for url in ["https://www.example.com/page", "http://user@blog.example.org:8080/x",
-                "https://nomatch.example.net/"]:
+                "https://nomatch.example.net/",
+                "https://shop.example.co.uk/basket",   # multi-label public suffix
+                "http://192.0.2.7/x",                  # IP host: tldextract fqdn == ''
+                "https://co.uk/",                      # bare suffix: no domain label
+                "https://cdn.example.unknowntld/js"]:  # unlisted TLD: no suffix
         rows.append(("URL", url, 0, ["URL"], None))
-    for host in ["www.example.com", "blog.example.org"]:
+    for host in ["www.example.com", "blog.example.org", "shop.example.co.uk",
+                 "192.0.2.7", "co.uk", "cdn.example.unknowntld"]:
         rows.append(("HostName", host, 0, ["HostName"], None))
     df = spark.createDataFrame(
         [(l, k, 0, labs, p) for l, k, _, labs, p in rows], NODES_SCHEMA
@@ -147,9 +156,12 @@ def test_url2hostname(post_store):
         (r["subj_key"], r["obj_key"])
         for r in post_store.read_triples("iyp.url2hostname").collect()
     }
+    # PSL semantics: the IP-host, bare-suffix, and unknown-TLD URLs must NOT
+    # link even though matching HostName nodes exist (tldextract fqdn == '')
     assert emitted == {
         ("https://www.example.com/page", "www.example.com"),
         ("http://user@blog.example.org:8080/x", "blog.example.org"),
+        ("https://shop.example.co.uk/basket", "shop.example.co.uk"),
     }
 
 

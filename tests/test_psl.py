@@ -1,0 +1,80 @@
+"""PSL classification: the Spark broadcast-join implementation must agree
+with the straight-line Python mirror (tldextract semantics,
+ref cisco/umbrella_top1m.py:99-104, post/url2hostname.py:26-29) on every
+rule kind: exact, multi-label, wildcard, exception, unknown TLD."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iyp_spark.psl import py_fqdn, py_registered_domain, with_registered_domain
+
+NAMES = [
+    "example.com",              # exact 1-label suffix → rd
+    "www.example.com",          # host under it
+    "example.co.uk",            # 2-label suffix, 3-label rd
+    "www.example.co.uk",        # host under 2-label suffix
+    "deep.www.example.co.uk",
+    "co.uk",                    # bare suffix → no rd
+    "uk",                       # bare TLD → no rd
+    "act.edu.au",               # 3-label suffix, bare → no rd
+    "school.act.edu.au",        # rd under 3-label suffix
+    "foo.ck",                   # *.ck wildcard: foo.ck IS a suffix → no rd
+    "shop.foo.ck",              # rd under wildcard suffix
+    "x.shop.foo.ck",            # host under it
+    "www.ck",                   # exception !www.ck → rd www.ck
+    "sub.www.ck",               # host under the exception rd
+    "city.kawasaki.jp",         # exception !city.kawasaki.jp
+    "x.city.kawasaki.jp",
+    "other.kawasaki.jp",        # wildcard *.kawasaki.jp → suffix itself
+    "a.other.kawasaki.jp",      # rd under wildcard
+    "example.unknowntld",       # no rule → no suffix, no rd
+    "localhost",                # single unknown label
+    "192.0.2.7",                # IP-ish: digits are not PSL suffixes
+    "UPPER.Example.COM",        # case-folded
+]
+
+EXPECTED_RD = {
+    "example.com": "example.com",
+    "www.example.com": "example.com",
+    "example.co.uk": "example.co.uk",
+    "www.example.co.uk": "example.co.uk",
+    "deep.www.example.co.uk": "example.co.uk",
+    "co.uk": None,
+    "uk": None,
+    "act.edu.au": None,
+    "school.act.edu.au": "school.act.edu.au",
+    "foo.ck": None,
+    "shop.foo.ck": "shop.foo.ck",
+    "x.shop.foo.ck": "shop.foo.ck",
+    "www.ck": "www.ck",
+    "sub.www.ck": "www.ck",
+    "city.kawasaki.jp": "city.kawasaki.jp",
+    "x.city.kawasaki.jp": "city.kawasaki.jp",
+    "other.kawasaki.jp": None,
+    "a.other.kawasaki.jp": "a.other.kawasaki.jp",
+    "example.unknowntld": None,
+    "localhost": None,
+    "192.0.2.7": None,
+    "UPPER.Example.COM": "example.com",
+}
+
+
+def test_python_mirror_expected():
+    for name, rd in EXPECTED_RD.items():
+        assert py_registered_domain(name) == rd, name
+    assert py_fqdn("www.example.co.uk") == "www.example.co.uk"
+    assert py_fqdn("co.uk") is None
+
+
+def test_spark_matches_python(spark):
+    df = spark.createDataFrame([(n,) for n in NAMES], "name string")
+    got = {
+        r["name"]: (r["registered_domain"], r["public_suffix"])
+        for r in with_registered_domain(df, "name").collect()
+    }
+    for name in NAMES:
+        assert got[name][0] == py_registered_domain(name), name
+    # plan stays JVM-side: broadcast joins only, no Python eval
+    plan = with_registered_domain(df, "name")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
