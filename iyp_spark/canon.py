@@ -105,6 +105,28 @@ def decompose_range_to_cidrs(start: pd.Series, count: pd.Series) -> pd.Series:
     return pd.Series([one(s, n) for s, n in zip(start, count)])
 
 
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def summarize_range(start_ip: pd.Series, end_ip: pd.Series) -> pd.Series:
+    """(first IP, last IP) inclusive range → covering CIDR list — the
+    summarize_address_range in iyp/crawlers/ipinfo/ip_country.py:43-48.
+    v4 and v6; invalid / crossed bounds → null."""
+
+    def one(s, e):
+        if s is None or e is None:
+            return None
+        try:
+            return [
+                net.compressed
+                for net in ipaddress.summarize_address_range(
+                    ipaddress.ip_address(s), ipaddress.ip_address(e)
+                )
+            ]
+        except ValueError:
+            return None
+
+    return pd.Series([one(s, e) for s, e in zip(start_ip, end_ip)])
+
+
 @F.pandas_udf(T.StructType([
     T.StructField("start", T.StringType(), True),
     T.StructField("end", T.StringType(), True),

@@ -25,6 +25,10 @@ from .pch_routing import PchRoutingV4
 from .worldbank_pop import WorldBankCountryPop
 from .iana_root_zone import IanaRootZone
 from .ripe_roa import RipeRoa
+from .ooni import (OoniPsiphon, OoniSignal, OoniTelegram, OoniTor,
+                   OoniWebConnectivity, OoniWhatsApp)
+from .caida_ixs import CaidaIxAsns, CaidaIxs
+from .geolite import IpinfoIpCountry, MaxmindGeoliteCountry
 
 CRAWLER_ORDER = [
     PfxToAsn,
@@ -42,12 +46,24 @@ CRAWLER_ORDER = [
     PchRoutingV4,
     IanaRootZone,
     RipeRoa,
+    MaxmindGeoliteCountry,
+    IpinfoIpCountry,
+    OoniWebConnectivity,
+    OoniTelegram,
+    OoniWhatsApp,
+    OoniSignal,
+    OoniPsiphon,
+    OoniTor,
     # second wave (NEEDS_EXISTING): read dictionaries/edges from the first
     CiscoUmbrella,  # prefers existing DomainName/HostName nodes
     PeeringdbIx,    # resolves orgs through PeeringdbOrgID EXTERNAL_ID edges
     InetIntelAsOrg,  # org siblings only among pre-existing Organizations
     WorldBankCountryPop,  # links only pre-existing Country nodes
     NroDelegatedStats,  # links only pre-existing AS nodes (runs last)
+    # third wave: reads EXTERNAL_ID edges written by wave-2 peeringdb.ix
+    CaidaIxs,
+    # fourth wave: reads CaidaIXID edges written by caida.ixs
+    CaidaIxAsns,
 ]
 
 # the subset used for large-scale bench/scaling corpora (fixtures_spark.py)

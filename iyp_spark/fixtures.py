@@ -1152,3 +1152,234 @@ GENERATORS.update({
     "ooni.psiphon": gen_ooni_psiphon,
     "ooni.tor": gen_ooni_tor,
 })
+
+
+# ---------------------------------------------------------------- caida ixs
+
+def _pdb_ix_count(scale: float) -> int:
+    """Mirror gen_peeringdb_ix's ix count so pdb_id references line up."""
+    return max(6, int(30 * min(scale, 1.0))) if scale <= 1 else 30
+
+
+def valid_prefix_pool() -> list[str]:
+    """prefix_pool minus host-bits-set entries — for crawlers whose
+    reference does a STRICT ip_network() (maxmind geolite_country.py:113,
+    caida ixs.py:115): those sources guarantee proper CIDRs, so the
+    fixtures must too."""
+    import ipaddress as _ip
+
+    out = []
+    for p in prefix_pool():
+        try:
+            _ip.ip_network(p)
+            out.append(p)
+        except ValueError:
+            continue
+    return out
+
+
+def gen_caida_ixs(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref iyp/crawlers/caida/ixs.py:56-120: jsonl, one ix per line;
+    scalar-or-list country/url; {af: [prefix]} dict; ~40% records whose
+    pdb_id does NOT resolve (fallback-create-on-miss, :137-146); one
+    '#'-metadata line."""
+    from .data_iso3166 import COUNTRIES as ISO
+
+    name = "caida.ixs"
+    rng = _rng(name)
+    n = max(8, int(25 * min(scale, 1.0)))
+    n_pdb = _pdb_ix_count(scale)
+    iso_items = sorted(ISO.items())
+    prefixes = valid_prefix_pool()
+
+    def a_country():
+        a2, (a3, full) = rng.choice(iso_items)
+        style = rng.random()
+        if style < 0.5:
+            return a2
+        if style < 0.75:
+            return a3
+        if style < 0.9:
+            return full
+        return "Atlantis"  # unknown → reference warns + skips
+
+    docs = [
+        FixtureDoc(f"{name}/meta", name,
+                   _spans([("text", '#{"date": "2025.01.01 00:00:00"}')]),
+                   {"meta": True})
+    ]
+    for i in range(n):
+        rec = {"ix_id": 2000 + i, "name": f"CAIDA-IX-{i}"}
+        r = rng.random()
+        if r < 0.6:
+            rec["pdb_id"] = 100 + rng.randrange(n_pdb)  # resolves
+        elif r < 0.7:
+            rec["pdb_id"] = 9999  # dangling extid → fallback create
+        # else: no pdb_id at all → fallback create
+        if rng.random() < 0.85:
+            k = rng.randint(1, 2)
+            ccs = [a_country() for _ in range(k)]
+            rec["country"] = ccs if k > 1 else ccs[0]
+        if rng.random() < 0.8:
+            urls = [f"https://caida-ix{i}.example.net{p}"
+                    for p in ([""] if rng.random() < 0.8 else ["", "/alt"])]
+            rec["url"] = urls if len(urls) > 1 else urls[0]
+        if rng.random() < 0.9:
+            pfx = {}
+            v4 = [p for p in rng.sample(prefixes, 4) if "." in p][:2]
+            v6 = [p for p in rng.sample(prefixes, 4) if ":" in p][:2]
+            if v4 and rng.random() < 0.9:
+                pfx["ipv4"] = v4
+            if v6 and rng.random() < 0.7:
+                pfx["ipv6"] = v6
+            if pfx:
+                rec["prefixes"] = pfx
+        docs.append(
+            FixtureDoc(f"{name}/{i:06d}", name,
+                       _spans([("text", json.dumps(rec, sort_keys=True))]), rec)
+        )
+    return docs
+
+
+def gen_caida_ix_asns(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref iyp/crawlers/caida/ix_asns.py:55-91: jsonl {ix_id, asn}
+    memberships; ~3% dangling ix_ids (no CaidaIXID edge → dropped)."""
+    name = "caida.ix_asns"
+    rng = _rng(name)
+    n_ix = max(8, int(25 * min(scale, 1.0)))
+    n = int(120 * min(scale, 1.0)) or 12
+    asns = zipf_asns(rng, n)
+    docs = [
+        FixtureDoc(f"{name}/meta", name,
+                   _spans([("text", '#{"date": "2025.01.01 00:00:00"}')]),
+                   {"meta": True})
+    ]
+    seen = set()
+    for i in range(n):
+        ix_id = 2000 + rng.randrange(n_ix) if rng.random() > 0.03 else 99999
+        if (ix_id, asns[i]) in seen:
+            continue
+        seen.add((ix_id, asns[i]))
+        rec = {"ix_id": ix_id, "asn": asns[i]}
+        docs.append(
+            FixtureDoc(f"{name}/{i:06d}", name,
+                       _spans([("text", json.dumps(rec, sort_keys=True))]), rec)
+        )
+    return docs
+
+
+GENERATORS.update({
+    "caida.ixs": gen_caida_ixs,
+    "caida.ix_asns": gen_caida_ix_asns,
+})
+
+
+# ------------------------------------------------------- maxmind / ipinfo
+
+CONTINENTS = {
+    "AS": "Asia", "EU": "Europe", "NA": "North America",
+    "SA": "South America", "AF": "Africa", "OC": "Oceania",
+}
+
+
+def gen_maxmind_geolite(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref iyp/crawlers/maxmind/geolite_country.py:68-142: locations CSV +
+    v4/v6 blocks CSVs. Includes a continent-only location (dropped :91),
+    Namibia's 'NA' code (the keep_default_na pitfall :85), blocks with
+    empty geoname_id (dropped :100) and non-compressed v6 networks."""
+    from .data_iso3166 import COUNTRIES as ISO
+
+    name = "maxmind.geolite_country"
+    rng = _rng(name)
+    ccs = [c.upper() for c in COUNTRIES] + ["NA"]  # Namibia
+    locations = []
+    for i, cc in enumerate(ccs):
+        cont = sorted(CONTINENTS)[i % 6]
+        locations.append({
+            "geoname_id": 3000 + i,
+            "locale_code": "en",
+            "continent_code": cont,
+            "continent_name": CONTINENTS[cont],
+            "country_iso_code": cc,
+            # commas would need CSV quoting — the real file quotes them, but
+            # keeping names comma-free keeps the span encoding trivial
+            "country_name": ISO.get(cc, ("", f"Country {cc}"))[1].replace(",", ";"),
+            "is_in_european_union": 1 if cont == "EU" and rng.random() < 0.7 else 0,
+        })
+    # continent-only rows (no country_iso_code) — Asia/Europe aggregates
+    locations.append({
+        "geoname_id": 2999, "locale_code": "en", "continent_code": "AS",
+        "continent_name": "Asia", "country_iso_code": "",
+        "country_name": "", "is_in_european_union": 0,
+    })
+    docs = []
+    seq = 0
+    for loc in locations:
+        line = (f'{loc["geoname_id"]},{loc["locale_code"]},'
+                f'{loc["continent_code"]},{loc["continent_name"]},'
+                f'{loc["country_iso_code"]},{loc["country_name"]},'
+                f'{loc["is_in_european_union"]}')
+        docs.append(FixtureDoc(f"{name}/{seq:06d}", name,
+                               _spans([("text", "location"), ("text", line)]),
+                               {"kind": "location", **loc}))
+        seq += 1
+    prefixes = valid_prefix_pool()
+    n = int(300 * min(scale, 1.0)) or 30
+    for i in range(n):
+        p = rng.choice(prefixes)
+        # ~8% registered-country-only rows: empty geoname_id
+        gid = "" if rng.random() < 0.08 else str(3000 + rng.randrange(len(ccs)))
+        # ~2% reference a location id that is continent-only or absent
+        if gid and rng.random() < 0.02:
+            gid = str(rng.choice([2999, 4999]))
+        kind = "block_v6" if ":" in p else "block_v4"
+        line = f"{p},{gid}"
+        docs.append(FixtureDoc(f"{name}/{seq:06d}", name,
+                               _spans([("text", kind), ("text", line)]),
+                               {"kind": "block", "network": p,
+                                "geoname_id": int(gid) if gid else None}))
+        seq += 1
+    return docs
+
+
+def gen_ipinfo_ip_country(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref iyp/crawlers/ipinfo/ip_country.py:27-60: jsonl rows with
+    start_ip/end_ip ranges (many NOT aligned to one CIDR — the
+    summarize_address_range multi-prefix case) + country attrs."""
+    name = "ipinfo.ip_country"
+    rng = _rng(name)
+    n = int(200 * min(scale, 1.0)) or 20
+    docs = []
+    for i in range(n):
+        cc = rng.choice(COUNTRIES).upper()
+        if rng.random() < 0.5:
+            # v4 range: random start + random length (often non-CIDR-aligned)
+            start = (rng.randint(1, 220) << 24) | (rng.randint(0, 255) << 16) \
+                | (rng.randint(0, 255) << 8)
+            count = rng.choice([256, 512, 300, 1000, 7])
+            import ipaddress as _ip
+            s = _ip.IPv4Address(start)
+            e = _ip.IPv4Address(start + count - 1)
+            rec = {"start_ip": str(s), "end_ip": str(e), "country": cc}
+        else:
+            import ipaddress as _ip
+            h = rng.randint(0, 0xFFFF)
+            base = int(_ip.IPv6Address(f"2001:db8:{h:x}::"))
+            count = rng.choice([1 << 64, (1 << 64) + 12345, 1 << 80])
+            rec = {"start_ip": str(_ip.IPv6Address(base)),
+                   "end_ip": str(_ip.IPv6Address(base + count - 1)),
+                   "country": cc}
+        rec["country_name"] = f"Country {cc}"
+        rec["continent"] = rng.choice(sorted(CONTINENTS))
+        rec["continent_name"] = CONTINENTS[rec["continent"]]
+        docs.append(
+            FixtureDoc(f"{name}/{i:06d}", name,
+                       _spans([("text", json.dumps(rec, sort_keys=True))]), rec)
+        )
+    return docs
+
+
+GENERATORS.update({
+    "maxmind.geolite_country": gen_maxmind_geolite,
+    "ipinfo.ip_country": gen_ipinfo_ip_country,
+})

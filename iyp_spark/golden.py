@@ -664,3 +664,102 @@ GOLDEN.update({
     "ooni.psiphon": golden_ooni_psiphon,
     "ooni.tor": golden_ooni_tor,
 })
+
+
+# ---------------------------------------------------------------- caida ixs
+
+def _iso_alpha2(token: str) -> str | None:
+    """Mirror iso3166 countries.get (ixs.py:92-103): alpha2/alpha3/name."""
+    from .data_iso3166 import COUNTRIES as ISO
+
+    t = token.strip().upper()
+    for a2, (a3, full) in ISO.items():
+        if t in (a2, a3, full.upper()):
+            return a2
+    return None
+
+
+def _as_list(v) -> list:
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]
+
+
+def golden_caida_ixs(docs: list[FixtureDoc], pdb_extid_to_name: dict) -> set[Triple]:
+    """ref caida/ixs.py:122-204: pdb_id resolved through PeeringdbIXID
+    edges; misses create an IXP keyed by the CAIDA name (:137-146)."""
+    out = set()
+    for d in docs:
+        r = d.record
+        if r.get("meta"):
+            continue
+        ixp = pdb_extid_to_name.get(r.get("pdb_id"), r["name"])
+        out.add(_t("IXP", ixp, "EXTERNAL_ID", "CaidaIXID", r["ix_id"]))
+        out.add(_t("IXP", ixp, "NAME", "Name", r["name"]))
+        for c in _as_list(r.get("country")):
+            a2 = _iso_alpha2(c)
+            if a2:
+                out.add(_t("IXP", ixp, "COUNTRY", "Country", a2))
+        for u in _as_list(r.get("url")):
+            out.add(_t("IXP", ixp, "WEBSITE", "URL", u))
+        for af_pfx in (r.get("prefixes") or {}).values():
+            for p in af_pfx:
+                pfx = _ipaddr.ip_network(p).compressed
+                out.add(_t("PeeringLAN", pfx, "MANAGED_BY", "IXP", ixp))
+    return out
+
+
+def golden_caida_ix_asns(docs: list[FixtureDoc],
+                         ixid_to_ixp: dict) -> set[Triple]:
+    """ref caida/ix_asns.py:77-91: MEMBER_OF through the CaidaIXID map;
+    dangling ix_ids drop."""
+    out = set()
+    for d in docs:
+        r = d.record
+        if r.get("meta") or r["ix_id"] not in ixid_to_ixp:
+            continue
+        out.add(_t("AS", r["asn"], "MEMBER_OF", "IXP", ixid_to_ixp[r["ix_id"]]))
+    return out
+
+
+# ------------------------------------------------------- maxmind / ipinfo
+
+def golden_maxmind(docs: list[FixtureDoc]) -> set[Triple]:
+    """ref maxmind/geolite_country.py:84-142: inner merge blocks×locations
+    on geoname_id, drop continent-only + registered-country-only rows."""
+    locs = {
+        d.record["geoname_id"]: d.record
+        for d in docs
+        if d.record["kind"] == "location" and d.record["country_iso_code"]
+    }
+    out = set()
+    for d in docs:
+        r = d.record
+        if r["kind"] != "block" or r["geoname_id"] is None:
+            continue
+        loc = locs.get(r["geoname_id"])
+        if loc is None:
+            continue
+        pfx = _ipaddr.ip_network(r["network"]).compressed
+        out.add(_t("GeoPrefix", pfx, "COUNTRY", "Country",
+                   loc["country_iso_code"]))
+    return out
+
+
+def golden_ipinfo(docs: list[FixtureDoc]) -> set[Triple]:
+    """ref ipinfo/ip_country.py:41-60: summarize_address_range explode."""
+    out = set()
+    for d in docs:
+        r = d.record
+        for net in _ipaddr.summarize_address_range(
+            _ipaddr.ip_address(r["start_ip"]), _ipaddr.ip_address(r["end_ip"])
+        ):
+            out.add(_t("GeoPrefix", net.compressed, "COUNTRY", "Country",
+                       r["country"]))
+    return out
+
+
+GOLDEN.update({
+    "maxmind.geolite_country": golden_maxmind,
+    "ipinfo.ip_country": golden_ipinfo,
+})

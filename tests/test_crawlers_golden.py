@@ -74,6 +74,23 @@ def golden_for(name: str) -> set:
             for d in GENERATORS["peeringdb.org"](SCALE)
         }
         return golden_peeringdb_ix(docs, org_map)
+    if name in ("caida.ixs", "caida.ix_asns"):
+        from iyp_spark.golden import golden_caida_ix_asns, golden_caida_ixs
+
+        pdb_map = {
+            d.record["id"]: d.record["name"]
+            for d in GENERATORS["peeringdb.ix"](SCALE)
+            if "ixlan_set" in d.record
+        }
+        if name == "caida.ixs":
+            return golden_caida_ixs(docs, pdb_map)
+        ixid_map = {
+            d.record["ix_id"]: pdb_map.get(d.record.get("pdb_id"),
+                                           d.record["name"])
+            for d in GENERATORS["caida.ixs"](SCALE)
+            if not d.record.get("meta")
+        }
+        return golden_caida_ix_asns(docs, ixid_map)
     if name == "nro.delegated_stats":
         # every AS key created by crawlers that run before nro (worldbank
         # creates none, but skipping it also breaks the mutual recursion
