@@ -222,6 +222,31 @@ def af_of_key(col: Column) -> Column:
     )
 
 
+def parse_rfc3339_nano(col: Column) -> Column:
+    """RFC3339 timestamp with VARIABLE-precision fractional seconds (the
+    Go-style nanosecond stamps Alice-LG emits, which datetime.fromisoformat
+    rejects) → timestamp, null when malformed.
+
+    Ref: the pad-or-truncate-to-6-digits fixup in
+    iyp/crawlers/alice_lg/__init__.py:213-238 — pure column expressions:
+    normalize Z→+00:00, split off the fraction, right-pad/truncate it to
+    microseconds, and try_to_timestamp. A stamp with a fraction but no
+    timezone suffix fails the extract and yields null (the reference
+    raises + warns)."""
+    norm = F.regexp_replace(F.trim(col), "Z$", "+00:00")
+    pat = r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})(?:\.(\d+))?([+-]\d{2}:\d{2})$"
+    base = F.regexp_extract(norm, pat, 1)
+    frac = F.regexp_extract(norm, pat, 2)
+    tz = F.regexp_extract(norm, pat, 3)
+    fixed = F.concat(
+        base, F.lit("."), F.rpad(F.substring(frac, 1, 6), 6, "0"), tz
+    )
+    return F.when(
+        base != "",
+        F.try_to_timestamp(fixed, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+    )
+
+
 def node_id(label: Column | str, key: Column) -> Column:
     """Deterministic node id: xxhash64(primary label, canonical key).
 

@@ -29,6 +29,7 @@ from .ooni import (OoniPsiphon, OoniSignal, OoniTelegram, OoniTor,
                    OoniWebConnectivity, OoniWhatsApp)
 from .caida_ixs import CaidaIxAsns, CaidaIxs
 from .geolite import IpinfoIpCountry, MaxmindGeoliteCountry
+from .alice_lg import AliceLgDecix
 
 CRAWLER_ORDER = [
     PfxToAsn,
@@ -64,6 +65,7 @@ CRAWLER_ORDER = [
     CaidaIxs,
     # fourth wave: reads CaidaIXID edges written by caida.ixs
     CaidaIxAsns,
+    AliceLgDecix,  # LPMs member IPs against wave-2/3 PeeringLANs
 ]
 
 # the subset used for large-scale bench/scaling corpora (fixtures_spark.py)

@@ -1383,3 +1383,115 @@ GENERATORS.update({
     "maxmind.geolite_country": gen_maxmind_geolite,
     "ipinfo.ip_country": gen_ipinfo_ip_country,
 })
+
+
+# ---------------------------------------------------------------- alice_lg
+
+def alice_lan_map(scale: float) -> dict[str, str]:
+    """PeeringLAN → IXP as it exists when alice_lg runs (wave 4): the union
+    of peeringdb.ix and caida.ixs MANAGED_BY edges, exact-duplicate-prefix
+    ties broken by min(ixp) — the same rule the crawler's window uses."""
+    from .golden import golden_caida_ixs, golden_peeringdb_ix
+
+    pdb_docs = gen_peeringdb_ix(scale)
+    caida_docs = gen_caida_ixs(scale)
+    pdb_map = {d.record["id"]: d.record["name"]
+               for d in pdb_docs if "ixlan_set" in d.record}
+    lans: dict[str, set] = {}
+    for t in golden_peeringdb_ix(pdb_docs, {}) | golden_caida_ixs(caida_docs,
+                                                                  pdb_map):
+        sl, sk, pred, ol, ok = t
+        if sl == "PeeringLAN" and pred == "MANAGED_BY" and ol == "IXP":
+            lans.setdefault(sk, set()).add(ok)
+    return {lan: min(ixps) for lan, ixps in lans.items()}
+
+
+def gen_alice_lg(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref iyp/crawlers/alice_lg/__init__.py: one doc per neighbors page
+    (with RFC3339-nano cached_at variants and the neighbors/neighbours
+    spelling split, :245-251) and per routes page. ~15% member IPs outside
+    every PeeringLAN (search_best miss, :370-372); ~8% malformed ASNs."""
+    import ipaddress as _ip
+
+    name = "alice_lg.decix"
+    rng = _rng(name)
+    lan_map = alice_lan_map(scale)
+    lans = sorted(lan_map)
+    cached_ats = [
+        "2026-01-05T10:00:00.123456789Z",        # nanoseconds (Go)
+        "2026-01-05T11:30:00.5+02:00",           # short fraction, offset tz
+        "2026-01-05T12:00:00Z",                  # no fraction
+        "2026-01-05T13:00:00.123456",            # fraction but no tz → null
+    ]
+    docs = []
+    n_rs = 4
+    n_per = int(40 * min(scale, 1.0)) or 8
+    asns = zipf_asns(rng, n_rs * n_per)
+    route_targets = []
+    prefixes = valid_prefix_pool()
+    for rs in range(n_rs):
+        neighbors = []
+        for j in range(n_per):
+            k = rs * n_per + j
+            r = rng.random()
+            if r < 0.15 or not lans:
+                # outside every LAN: 240/4 and fd00::/8 never appear in pools
+                addr = (f"240.0.{rng.randint(0, 255)}.{rng.randint(1, 254)}"
+                        if rng.random() < 0.5
+                        else f"fd00::{rng.randint(1, 0xffff):x}")
+            else:
+                net = _ip.ip_network(rng.choice(lans))
+                idx = rng.randrange(1, min(net.num_addresses, 1 << 16))
+                addr = str(net[idx])
+            a = rng.random()
+            asn = asns[k]
+            if a < 0.04:
+                asn = f"AS{asn}"  # string → malformed (:373-376)
+            elif a < 0.08:
+                asn = 0
+            nb = {
+                "id": f"nb_{rs}_{j}",
+                "address": addr,
+                "asn": asn,
+                "state": rng.choice(["up", "down", "start"]),
+                "description": f"Peer {k}",
+                "routes_received": rng.randint(0, 5000),
+            }
+            if rng.random() < 0.5:
+                nb["details"] = {"route_changes": rng.randint(0, 99),
+                                 "filtered": rng.randint(0, 9)}
+            elif rng.random() < 0.5:
+                nb["details"] = {}  # empty dict → removed by flatten
+            neighbors.append(nb)
+            if isinstance(asn, int) and asn and rng.random() < 0.15:
+                route_targets.append((rs, nb["id"]))
+        key = "neighbours" if rs % 2 else "neighbors"
+        page = {
+            "routeserver_id": f"rs{rs}",
+            "api": {"cache_status": {"cached_at": cached_ats[rs]}},
+            key: neighbors,
+        }
+        docs.append(FixtureDoc(f"{name}/nb{rs:03d}", name,
+                               _spans([("text", "neighbors"),
+                                       ("text", json.dumps(page, sort_keys=True))]),
+                               {"kind": "neighbors", "rs": f"rs{rs}",
+                                "cached_at": cached_ats[rs],
+                                "list": neighbors}))
+    for i, (rs, nb_id) in enumerate(route_targets):
+        imported = []
+        for _ in range(rng.randint(1, 6)):
+            path_len = rng.randint(1, 4)
+            imported.append({
+                "network": rng.choice(prefixes),
+                "bgp": {"as_path": zipf_asns(rng, path_len)},
+            })
+        page = {"routeserver_id": f"rs{rs}", "neighbor_id": nb_id,
+                "imported": imported}
+        docs.append(FixtureDoc(f"{name}/rt{i:03d}", name,
+                               _spans([("text", "routes"),
+                                       ("text", json.dumps(page, sort_keys=True))]),
+                               {"kind": "routes", "imported": imported}))
+    return docs
+
+
+GENERATORS["alice_lg.decix"] = gen_alice_lg

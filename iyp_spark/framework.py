@@ -57,14 +57,21 @@ class SparkCrawler:
         return mentions.persist() if self.cache_mentions else mentions
 
     # ---------- reference stamping (iyp/__init__.py:701-708) ----------
-    def reference_col(self) -> F.Column:
+    def reference_col(self, time_mod: F.Column | None = None) -> F.Column:
+        """``time_mod`` lets a crawler stamp a PER-ROW modification time
+        (alice_lg's per-routeserver cached_at, alice_lg/__init__.py:390-397);
+        default is the corpus-wide fixed fetch stamp."""
         return F.struct(
             F.lit(self.NAME).alias("reference_name"),
             F.lit(self.ORG).alias("reference_org"),
             F.lit(self.URL).alias("reference_url_data"),
             F.lit(None).cast("string").alias("reference_url_info"),
             F.lit(FIXED_FETCH_TIME).alias("reference_time_fetch"),
-            F.lit(FIXED_FETCH_TIME).alias("reference_time_modification"),
+            (
+                time_mod.cast("timestamp")
+                if time_mod is not None
+                else F.lit(FIXED_FETCH_TIME)
+            ).alias("reference_time_modification"),
         )
 
     # ---------- helpers for subclasses ----------
@@ -107,6 +114,7 @@ class SparkCrawler:
         self, df: DataFrame, pred: str | F.Column,
         subj_label: str, subj_key: str, obj_label: str, obj_key: str,
         props_col: F.Column | None = None,
+        time_mod_col: F.Column | None = None,
     ) -> DataFrame:
         """Triple rows from a mention DataFrame (K5), endpoints id-linked
         via deterministic hashes (J1 without the shuffle). ``pred`` may be a
@@ -130,7 +138,7 @@ class SparkCrawler:
                     if props_col is not None
                     else F.lit(None).cast("map<string,string>")
                 ).alias("props"),
-                self.reference_col().alias("reference"),
+                self.reference_col(time_mod=time_mod_col).alias("reference"),
             )
         )
 

@@ -763,3 +763,37 @@ GOLDEN.update({
     "maxmind.geolite_country": golden_maxmind,
     "ipinfo.ip_country": golden_ipinfo,
 })
+
+
+# ---------------------------------------------------------------- alice_lg
+
+def golden_alice_lg(docs: list[FixtureDoc],
+                    lan_to_ixp: dict[str, str]) -> set[Triple]:
+    """ref alice_lg/__init__.py:356-457: search_best member-IP → PeeringLAN
+    → MEMBER_OF; received routes → ORIGINATE(as_path[-1], network)."""
+    nets = [(_ipaddr.ip_network(lan), ixp) for lan, ixp in lan_to_ixp.items()]
+    out = set()
+    for d in docs:
+        r = d.record
+        if r.get("kind") == "neighbors":
+            for nb in r["list"]:
+                asn = nb.get("asn")
+                if not isinstance(asn, int) or not asn:
+                    continue
+                ip = _ipaddr.ip_address(nb["address"])
+                best = None
+                for net, ixp in nets:
+                    if net.version == ip.version and ip in net:
+                        if best is None or net.prefixlen > best[0].prefixlen:
+                            best = (net, ixp)
+                if best is None:
+                    continue
+                out.add(_t("AS", asn, "MEMBER_OF", "IXP", best[1]))
+        elif r.get("kind") == "routes":
+            for rt in r["imported"]:
+                if not rt["bgp"]["as_path"]:
+                    continue
+                pfx = _ipaddr.ip_network(rt["network"]).compressed
+                out.add(_t("AS", rt["bgp"]["as_path"][-1],
+                           "ORIGINATE", "BGPPrefix", pfx))
+    return out

@@ -74,6 +74,11 @@ def golden_for(name: str) -> set:
             for d in GENERATORS["peeringdb.org"](SCALE)
         }
         return golden_peeringdb_ix(docs, org_map)
+    if name == "alice_lg.decix":
+        from iyp_spark.fixtures import alice_lan_map
+        from iyp_spark.golden import golden_alice_lg
+
+        return golden_alice_lg(docs, alice_lan_map(SCALE))
     if name in ("caida.ixs", "caida.ix_asns"):
         from iyp_spark.golden import golden_caida_ix_asns, golden_caida_ixs
 
@@ -182,3 +187,39 @@ def test_batched_pipeline_equals_sequential(spark, store, built):
         assert a == b
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_alice_member_of_carries_routeserver_cache_time(store, built):
+    """MEMBER_OF reference_time_modification is the per-routeserver
+    cached_at (alice_lg/__init__.py:390-397), not the fixed fetch stamp."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    UTC = datetime.timezone.utc
+    rows = (
+        store.read_triples("alice_lg.decix")
+        .filter(F.col("pred") == "MEMBER_OF")
+        .select(
+            F.col("props")["routeserver_id"].alias("rs"),
+            F.unix_micros(F.col("reference.reference_time_modification"))
+            .alias("us"),
+        )
+        .distinct()
+        .collect()
+    )
+    by_rs = {r["rs"]: r["us"] for r in rows}
+    assert by_rs, "no alice_lg MEMBER_OF triples"
+
+    def us(dt):
+        return int(dt.timestamp() * 1_000_000)
+
+    expect = {
+        "rs0": us(datetime.datetime(2026, 1, 5, 10, 0, 0, 123456, UTC)),
+        "rs1": us(datetime.datetime(2026, 1, 5, 9, 30, 0, 500000, UTC)),
+        "rs2": us(datetime.datetime(2026, 1, 5, 12, 0, 0, 0, UTC)),
+        "rs3": None,  # malformed cached_at → no modification time
+    }
+    for rs, want in expect.items():
+        if rs in by_rs:
+            assert by_rs[rs] == want, (rs, by_rs[rs], want)

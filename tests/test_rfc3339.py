@@ -1,0 +1,44 @@
+"""canon.parse_rfc3339_nano — the Alice-LG variable-precision timestamp
+fixup (ref alice_lg/__init__.py:213-238)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from iyp_spark.canon import parse_rfc3339_nano
+
+UTC = datetime.timezone.utc
+
+CASES = [
+    # Go RFC3339Nano: 9-digit fraction, Z suffix → truncate to micros
+    ("2026-01-05T10:00:00.123456789Z",
+     datetime.datetime(2026, 1, 5, 10, 0, 0, 123456, UTC)),
+    # short fraction + explicit offset → pad to micros, shift to UTC
+    ("2026-01-05T11:30:00.5+02:00",
+     datetime.datetime(2026, 1, 5, 9, 30, 0, 500000, UTC)),
+    # no fraction at all
+    ("2026-01-05T12:00:00Z", datetime.datetime(2026, 1, 5, 12, 0, 0, 0, UTC)),
+    ("2026-01-05T12:00:00-05:00",
+     datetime.datetime(2026, 1, 5, 17, 0, 0, 0, UTC)),
+    # fraction but no timezone → the reference raises + warns → null
+    ("2026-01-05T13:00:00.123456", None),
+    ("not a timestamp", None),
+    (None, None),
+]
+
+
+def test_parse_rfc3339_nano(spark):
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(CASES)], "i int, raw string"
+    )
+    got = {
+        r["i"]: r["us"]
+        for r in df.select(
+            "i", F.unix_micros(parse_rfc3339_nano(F.col("raw"))).alias("us")
+        ).collect()
+    }
+    for i, (raw, want) in enumerate(CASES):
+        want_us = None if want is None else int(want.timestamp() * 1_000_000)
+        assert got[i] == want_us, f"{raw}: {got[i]} != {want_us}"
