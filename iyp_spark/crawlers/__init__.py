@@ -30,6 +30,11 @@ from .ooni import (OoniPsiphon, OoniSignal, OoniTelegram, OoniTor,
 from .caida_ixs import CaidaIxAsns, CaidaIxs
 from .geolite import IpinfoIpCountry, MaxmindGeoliteCountry
 from .alice_lg import AliceLgDecix
+from .ihr_country_dependency import IhrCountryDependency
+from .ihr_rov import IhrRov
+from .flat_linkers import (BgpToolsAsNames, CitizenLabUrldb,
+                           EmileabenAsNames, VirginiaTechRovista)
+from .iana_address_space import IanaAddressSpace
 
 CRAWLER_ORDER = [
     PfxToAsn,
@@ -49,6 +54,13 @@ CRAWLER_ORDER = [
     RipeRoa,
     MaxmindGeoliteCountry,
     IpinfoIpCountry,
+    IhrCountryDependency,
+    IhrRov,
+    BgpToolsAsNames,
+    EmileabenAsNames,
+    VirginiaTechRovista,
+    CitizenLabUrldb,
+    IanaAddressSpace,
     OoniWebConnectivity,
     OoniTelegram,
     OoniWhatsApp,

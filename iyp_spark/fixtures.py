@@ -1495,3 +1495,257 @@ def gen_alice_lg(scale: float = 1.0) -> list[FixtureDoc]:
 
 
 GENERATORS["alice_lg.decix"] = gen_alice_lg
+
+
+# ---------------------------------------------------------------- ihr
+
+def gen_ihr_country_dependency(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref ihr/country_dependency.py:42-113: one doc per country API page;
+    mixed timebins (only the latest counts), both weightschemes,
+    transitonly rows, sub-threshold hege values."""
+    name = "ihr.country_dependency"
+    rng = _rng(name)
+    n_cc = max(4, int(12 * min(scale, 1.0)))
+    timebins = ["2026-01-02T00:00:00Z", "2026-01-03T00:00:00Z",
+                "2026-01-04T00:00:00Z"]
+    docs = []
+    for i in range(n_cc):
+        cc = COUNTRIES[i % len(COUNTRIES)].upper()
+        results = []
+        if rng.random() < 0.08:
+            results = []  # empty page → no nodes at all
+        else:
+            k = rng.randint(6, 20)
+            hege_seen = set()
+            for _ in range(k):
+                hege = round(rng.uniform(0.001, 0.9), 6)
+                while hege in hege_seen:  # unique → deterministic rank order
+                    hege = round(rng.uniform(0.001, 0.9), 6)
+                hege_seen.add(hege)
+                results.append({
+                    "timebin": rng.choice(timebins),
+                    "asn": rng.choice(asn_pool()),
+                    "hege": hege,
+                    "weightscheme": rng.choice(["eyeball", "as"]),
+                    "transitonly": rng.random() < 0.15,
+                })
+        docs.append(
+            FixtureDoc(f"{name}/{i:06d}", name,
+                       _spans([("text", cc),
+                               ("text", json.dumps({"results": results},
+                                                   sort_keys=True))]),
+                       {"cc": cc, "results": results})
+        )
+    return docs
+
+
+ROV_HEADER = ["id", "timebin", "prefix", "hege", "af", "visibility",
+              "rpki_status", "irr_status", "delegated_prefix_status",
+              "delegated_asn_status", "descr", "moas", "asn_id",
+              "country_id", "originasn_id"]
+
+
+def gen_ihr_rov(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref ihr/rov.py:55-125: one CSV row per doc; ~60% asn==originasn
+    rows, ~2% malformed prefixes, RPKI/IRR status mix."""
+    name = "ihr.rov"
+    rng = _rng(name)
+    n = int(250 * min(scale, 1.0)) or 25
+    prefixes = prefix_pool()
+    asns = zipf_asns(rng, 2 * n)
+    docs = []
+    for i in range(n):
+        prefix = (rng.choice(MALFORMED_PREFIXES) if rng.random() < 0.02
+                  else rng.choice(prefixes))
+        asn = asns[2 * i]
+        origin = asn if rng.random() < 0.6 else asns[2 * i + 1]
+        rec = {
+            "id": i,
+            "timebin": "2026-01-04 00:00:00+00",
+            "prefix": prefix,
+            "hege": round(rng.uniform(0.0, 1.0), 6),
+            "af": 6 if ":" in prefix else 4,
+            "visibility": round(rng.uniform(0.0, 100.0), 4),
+            "rpki_status": rng.choice(["Valid", "Invalid", "NotFound",
+                                       "Invalid;more-specific"]),
+            "irr_status": rng.choice(["Valid", "Invalid", "NotFound"]),
+            "delegated_prefix_status": rng.choice(["assigned", "available"]),
+            "delegated_asn_status": "assigned",
+            "descr": f"AS {asn} route",
+            "moas": rng.choice(["true", "false"]),
+            "asn_id": str(asn),
+            "country_id": rng.choice(COUNTRIES).upper(),
+            "originasn_id": str(origin),
+        }
+        line = ",".join(str(rec[h]) for h in ROV_HEADER)
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name,
+                               _spans([("text", line)]), rec))
+    return docs
+
+
+GENERATORS.update({
+    "ihr.country_dependency": gen_ihr_country_dependency,
+    "ihr.rov": gen_ihr_rov,
+})
+
+
+# ------------------------------------------------------- flat linkers
+
+def gen_bgptools_as_names(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref bgptools/as_names.py:35-85: CSV (asn,name,class); ~3% rows whose
+    asn lacks the 'AS' prefix, ~10% ERR_AS_NAME_NOT_FOUND, ~25% Unknown."""
+    name = "bgptools.as_names"
+    rng = _rng(name)
+    n = int(400 * min(scale, 1.0)) or 40
+    pool = asn_pool()
+    classes = ["Eyeball", "Transit", "Content", "Education", "Government"]
+    docs = []
+    for i in range(n):
+        asn = rng.choice(pool)
+        asn_field = f"AS{asn}" if rng.random() > 0.03 else str(asn)
+        nm = ("ERR_AS_NAME_NOT_FOUND" if rng.random() < 0.10
+              else org_name(rng).replace(",", ""))
+        cls = "Unknown" if rng.random() < 0.25 else rng.choice(classes)
+        line = f"{asn_field},{nm},{cls}"
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name,
+                               _spans([("text", line)]),
+                               {"asn_field": asn_field, "asn": asn,
+                                "name": nm, "class": cls}))
+    return docs
+
+
+def gen_emileaben_as_names(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref emileaben/as_names.py:27-60: asn|contributor|name lines."""
+    name = "emileaben.as_names"
+    rng = _rng(name)
+    n = int(250 * min(scale, 1.0)) or 25
+    pool = asn_pool()
+    docs = []
+    for i in range(n):
+        asn = rng.choice(pool)
+        contributor = rng.choice(["ripe", "apnic", "community", "manual"])
+        nm = org_name(rng)
+        line = f"{asn}|{contributor}|{nm}"
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name,
+                               _spans([("text", line)]),
+                               {"asn": asn, "contributor": contributor,
+                                "name": nm}))
+    return docs
+
+
+def gen_virginiatech_rovista(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref virginiatech/rovista.py:29-72: paginated JSON pages of
+    {asn, ratio, lastUpdatedDate}; ratios straddling the 0.5 threshold."""
+    name = "virginiatech.rovista"
+    rng = _rng(name)
+    n = int(300 * min(scale, 1.0)) or 30
+    pool = asn_pool()
+    pages = []
+    entries_all = []
+    page = []
+    for i in range(n):
+        ratio = round(rng.random(), 4)
+        if abs(ratio - 0.5) < 0.02:
+            ratio = 0.5  # exercise the strict > boundary exactly
+        e = {"asn": rng.choice(pool), "ratio": ratio,
+             "lastUpdatedDate": "2026-01-03"}
+        page.append(e)
+        entries_all.append(e)
+        if len(page) == 100:
+            pages.append(page)
+            page = []
+    if page:
+        pages.append(page)
+    docs = []
+    for i, pg in enumerate(pages):
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name,
+                               _spans([("text", json.dumps({"data": pg},
+                                                           sort_keys=True))]),
+                               {"data": pg}))
+    return docs
+
+
+def gen_citizenlab_urldb(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref citizenlab/urldb.py:26-71: per-country CSV rows of
+    (url, category_code, category_description, ...); duplicate (url,
+    category) pairs across countries collapse to one link."""
+    name = "citizenlab.urldb"
+    rng = _rng(name)
+    n = int(300 * min(scale, 1.0)) or 30
+    cats = [("ALDR", "Alcohol & Drugs"), ("NEWS", "News Media"),
+            ("POLR", "Political Criticism"), ("ANON", "Anonymization tools"),
+            ("SRCH", "Search Engines")]
+    domains = domain_pool()
+    docs = []
+    for i in range(n):
+        cc = rng.choice(COUNTRIES)
+        code, desc = rng.choice(cats)
+        url = f"https://{rng.choice(domains)}/{rng.randint(0, 30)}"
+        line = f"{url},{code},{desc},2024-01-01,citizenlab,"
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name,
+                               _spans([("text", cc), ("text", line)]),
+                               {"url": url, "category": desc}))
+    return docs
+
+
+def gen_iana_address_space(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref iana/address_space.py:37-185: v4 '001/8' rows, v6 rows, and
+    special-registry rows with footnotes, N/A bools, and the dual-prefix
+    cell."""
+    rng = _rng("iana.address_space")
+    name = "iana.address_space"
+    docs = []
+    seq = 0
+    statuses = ["ALLOCATED", "RESERVED", "LEGACY"]
+    desigs = ["IANA - Loopback", "Administered by ARIN", "Administered by RIPE NCC",
+              "Multicast", "Future use", "APNIC", "ARIN", "RIPE NCC", "LACNIC",
+              "AFRINIC"]
+    for octet in range(0, 224, 2):  # 112 v4 rows
+        desig = rng.choice(desigs)
+        status = rng.choice(statuses)
+        line = f"{octet:03d}/8,{desig},1993-05,{status}"
+        docs.append(FixtureDoc(f"{name}/{seq:06d}", name,
+                               _spans([("text", "v4"), ("text", line)]),
+                               {"kind": "v4", "octet": octet, "desig": desig,
+                                "date": "1993-05", "status": status}))
+        seq += 1
+    for i in range(24):  # v6 rows
+        desig = rng.choice(desigs)
+        status = rng.choice(statuses)
+        pfx = f"2001:{(i + 1) * 0x200:04x}::/23"  # /23-aligned like the registry
+        line = f"{pfx},{desig},1999-07,{status}"
+        docs.append(FixtureDoc(f"{name}/{seq:06d}", name,
+                               _spans([("text", "v6"), ("text", line)]),
+                               {"kind": "v6", "prefix": pfx, "desig": desig,
+                                "date": "1999-07", "status": status}))
+        seq += 1
+    specials = [
+        ("0.0.0.0/8", "This network", "True", "False", "False", "False", "True"),
+        ("192.0.0.0/24 [2]", "IETF Protocol Assignments", "N/A [3]", "N/A",
+         "N/A", "N/A", "False"),
+        ('"192.0.0.170/32, 192.0.0.171/32"', "NAT64/DNS64 Discovery", "False",
+         "False", "False", "False", "True"),
+        ("198.18.0.0/15", "Benchmarking", "True [4]", "True", "True",
+         "False", "False"),
+        ("::1/128", "Loopback Address", "False", "False", "False", "False",
+         "True"),
+        ("100::/64", "Discard-Only Address Block", "True", "True", "True",
+         "False", "False"),
+    ]
+    for block, nm, src, dst, fwd, glob, resv in specials:
+        line = f"{block},{nm},RFC 6890,2010-01,{src},{dst},{fwd},{glob},{resv}"
+        docs.append(FixtureDoc(f"{name}/{seq:06d}", name,
+                               _spans([("text", "special"), ("text", line)]),
+                               {"kind": "special", "block": block.strip('"'),
+                                "name": nm}))
+        seq += 1
+    return docs
+
+
+GENERATORS.update({
+    "bgptools.as_names": gen_bgptools_as_names,
+    "emileaben.as_names": gen_emileaben_as_names,
+    "virginiatech.rovista": gen_virginiatech_rovista,
+    "citizenlab.urldb": gen_citizenlab_urldb,
+    "iana.address_space": gen_iana_address_space,
+})

@@ -797,3 +797,129 @@ def golden_alice_lg(docs: list[FixtureDoc],
                 out.add(_t("AS", rt["bgp"]["as_path"][-1],
                            "ORIGINATE", "BGPPrefix", pfx))
     return out
+
+
+# ---------------------------------------------------------------- ihr
+
+def golden_ihr_country_dependency(docs: list[FixtureDoc]) -> set[Triple]:
+    """ref ihr/country_dependency.py:42-113."""
+    out = set()
+    for d in docs:
+        cc, results = d.record["cc"], d.record["results"]
+        if not results:
+            continue
+        last = max(r["timebin"] for r in results)  # ISO strings sort right
+        for metric, weight in [("Total eyeball", "eyeball"), ("Total AS", "as")]:
+            ranking = f"IHR country ranking: {metric} ({cc})"
+            out.add(_t("Ranking", ranking, "COUNTRY", "Country", cc))
+            for r in results:
+                if (r["weightscheme"] == weight and r["transitonly"] is False
+                        and r["hege"] > 0.01 and r["timebin"] == last):
+                    out.add(_t("AS", r["asn"], "RANK", "Ranking", ranking))
+    return out
+
+
+def golden_ihr_rov(docs: list[FixtureDoc]) -> set[Triple]:
+    """ref ihr/rov.py:76-125."""
+    out = set()
+    for d in docs:
+        r = d.record
+        try:
+            pfx = _ipaddr.ip_network(r["prefix"]).compressed
+        except ValueError:
+            continue
+        if r["asn_id"] == r["originasn_id"]:
+            origin = int(r["originasn_id"])
+            out.add(_t("AS", origin, "ORIGINATE", "BGPPrefix", pfx))
+            out.add(_t("BGPPrefix", pfx, "CATEGORIZED", "Tag",
+                       "RPKI " + r["rpki_status"]))
+            out.add(_t("BGPPrefix", pfx, "CATEGORIZED", "Tag",
+                       "IRR " + r["irr_status"]))
+        out.add(_t("BGPPrefix", pfx, "DEPENDS_ON", "AS", int(r["asn_id"])))
+    return out
+
+
+GOLDEN.update({
+    "ihr.country_dependency": golden_ihr_country_dependency,
+    "ihr.rov": golden_ihr_rov,
+})
+
+
+# ------------------------------------------------------- flat linkers
+
+def golden_bgptools_as_names(docs: list[FixtureDoc]) -> set[Triple]:
+    """ref bgptools/as_names.py:54-85."""
+    out = set()
+    for d in docs:
+        r = d.record
+        if not r["asn_field"].startswith("AS"):
+            continue
+        if r["name"] != "ERR_AS_NAME_NOT_FOUND":
+            out.add(_t("AS", r["asn"], "NAME", "Name", r["name"]))
+        if r["class"] != "Unknown":
+            out.add(_t("AS", r["asn"], "CATEGORIZED", "Tag", r["class"]))
+    return out
+
+
+def golden_emileaben_as_names(docs: list[FixtureDoc]) -> set[Triple]:
+    return {_t("AS", d.record["asn"], "NAME", "Name", d.record["name"])
+            for d in docs}
+
+
+def golden_virginiatech_rovista(docs: list[FixtureDoc]) -> set[Triple]:
+    """ref virginiatech/rovista.py:57-68: strict > 0.5 threshold."""
+    out = set()
+    for d in docs:
+        for e in d.record["data"]:
+            tag = ("Validating RPKI ROV" if e["ratio"] > 0.5
+                   else "Not Validating RPKI ROV")
+            out.add(_t("AS", e["asn"], "CATEGORIZED", "Tag", tag))
+    return out
+
+
+def golden_citizenlab_urldb(docs: list[FixtureDoc]) -> set[Triple]:
+    return {_t("URL", d.record["url"], "CATEGORIZED", "Tag",
+               d.record["category"]) for d in docs}
+
+
+def golden_iana_address_space(docs: list[FixtureDoc]) -> set[Triple]:
+    """ref iana/address_space.py:58-185."""
+
+    def norm_org(desig: str) -> str:
+        if desig.startswith("IANA - "):
+            return "IANA"
+        if desig.startswith("Administered by "):
+            return desig.replace("Administered by ", "")
+        if desig in ("Multicast", "Future use"):
+            return "IANA"
+        return desig
+
+    out = set()
+    for d in docs:
+        r = d.record
+        if r["kind"] == "v4":
+            pfx = _ipaddr.ip_network(f'{r["octet"]}.0.0.0/8').compressed
+            out.add(_t("IANAPrefix", pfx, r["status"], "Organization",
+                       norm_org(r["desig"])))
+        elif r["kind"] == "v6":
+            pfx = _ipaddr.ip_network(r["prefix"]).compressed
+            out.add(_t("IANAPrefix", pfx, r["status"], "Organization",
+                       norm_org(r["desig"])))
+        else:
+            block = r["block"]
+            if block == "192.0.0.170/32, 192.0.0.171/32":
+                pfxs = ["192.0.0.170/32", "192.0.0.171/32"]
+            else:
+                pfxs = [_ipaddr.ip_network(block.split(" ")[0]).compressed]
+            for p in pfxs:
+                out.add(_t("IANAPrefix", p, "RESERVED", "Organization", "IANA"))
+    return out
+
+
+GOLDEN.update({
+    "bgptools.as_names": golden_bgptools_as_names,
+    "emileaben.as_names": golden_emileaben_as_names,
+    "virginiatech.rovista": golden_virginiatech_rovista,
+    "citizenlab.urldb": golden_citizenlab_urldb,
+    "iana.address_space": golden_iana_address_space,
+})
