@@ -19,7 +19,7 @@ from .peeringdb_org import PeeringdbOrg
 from .peeringdb_ix import PeeringdbIx
 from .caida_as2org import CaidaAs2Org
 from .nro_delegated import NroDelegatedStats
-from .openintel import OpenIntel
+from .openintel import OpenIntel, OpenIntelInfraNs, OpenIntelUmbrella1M
 from .inetintel_as_org import InetIntelAsOrg
 from .pch_routing import PchRoutingV4
 from .worldbank_pop import WorldBankCountryPop
@@ -35,6 +35,16 @@ from .ihr_rov import IhrRov
 from .flat_linkers import (BgpToolsAsNames, CitizenLabUrldb,
                            EmileabenAsNames, VirginiaTechRovista)
 from .iana_address_space import IanaAddressSpace
+from .cloudflare import (CloudflareDnsTopAses, CloudflareDnsTopLocations,
+                         CloudflareRankingBucket, CloudflareTop100)
+from .ripe_atlas_probes import RipeAtlasProbes
+from .anycast_asrel import (BgpkitPeerstats, BgpToolsAnycastV4,
+                            BgpToolsAnycastV6, CaidaAsRelationshipsV4,
+                            CaidaAsRelationshipsV6)
+from .amazon_aws import AmazonAwsIpRanges
+from .utwente_laces import UtwenteLacesV4, UtwenteLacesV6
+from .peeringdb_fac import PeeringdbFac
+from .google_crux import GoogleCruxCountry
 
 CRAWLER_ORDER = [
     PfxToAsn,
@@ -61,6 +71,20 @@ CRAWLER_ORDER = [
     VirginiaTechRovista,
     CitizenLabUrldb,
     IanaAddressSpace,
+    CloudflareTop100,
+    CloudflareRankingBucket,
+    RipeAtlasProbes,
+    BgpToolsAnycastV4,
+    BgpToolsAnycastV6,
+    CaidaAsRelationshipsV4,
+    CaidaAsRelationshipsV6,
+    BgpkitPeerstats,
+    AmazonAwsIpRanges,
+    UtwenteLacesV4,
+    UtwenteLacesV6,
+    OpenIntelInfraNs,
+    OpenIntelUmbrella1M,
+    GoogleCruxCountry,
     OoniWebConnectivity,
     OoniTelegram,
     OoniWhatsApp,
@@ -70,6 +94,7 @@ CRAWLER_ORDER = [
     # second wave (NEEDS_EXISTING): read dictionaries/edges from the first
     CiscoUmbrella,  # prefers existing DomainName/HostName nodes
     PeeringdbIx,    # resolves orgs through PeeringdbOrgID EXTERNAL_ID edges
+    PeeringdbFac,   # same org indirection; Facility nodes
     InetIntelAsOrg,  # org siblings only among pre-existing Organizations
     WorldBankCountryPop,  # links only pre-existing Country nodes
     NroDelegatedStats,  # links only pre-existing AS nodes (runs last)
@@ -78,6 +103,8 @@ CRAWLER_ORDER = [
     # fourth wave: reads CaidaIXID edges written by caida.ixs
     CaidaIxAsns,
     AliceLgDecix,  # LPMs member IPs against wave-2/3 PeeringLANs
+    CloudflareDnsTopAses,    # seed scan over RANK edges incl. umbrella's
+    CloudflareDnsTopLocations,
 ]
 
 # the subset used for large-scale bench/scaling corpora (fixtures_spark.py)

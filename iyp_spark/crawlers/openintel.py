@@ -165,3 +165,20 @@ class OpenIntel(SparkCrawler):
                               "DomainName", "d"),
         ]
         return nodes, triples
+
+
+class OpenIntelInfraNs(OpenIntel):
+    """openintel.infra_ns — same shared transform over the infra:ns
+    dataset partition (ref openintel/infra_ns.py:11-17: the subclass only
+    changes DATASETS; the closed-bucket fetch is out-of-engine here)."""
+
+    URL = "https://data.openintel.nl"
+    NAME = "openintel.infra_ns"
+
+
+class OpenIntelUmbrella1M(OpenIntel):
+    """openintel.umbrella1m — umbrella toplist flavor
+    (ref openintel/umbrella1m.py)."""
+
+    URL = "https://data.openintel.nl/data/umbrella1m"
+    NAME = "openintel.umbrella1m"

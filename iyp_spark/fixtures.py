@@ -683,12 +683,14 @@ def gen_inetintel_as_org(scale: float = 1.0) -> list[FixtureDoc]:
     return docs
 
 
-def gen_openintel(scale: float = 1.0) -> list[FixtureDoc]:
+def gen_openintel(scale: float = 1.0,
+                  name: str = "openintel.tranco1m") -> list[FixtureDoc]:
     """FIXTURES.md §2.9 — ref iyp/crawlers/openintel/__init__.py:253-443.
     DNS measurement rows with trailing root dots, non-compressed IPv6,
     2-link CNAME chains, NS records, apex hosts (host name == domain name),
-    and exact duplicate rows."""
-    name = "openintel.tranco1m"
+    and exact duplicate rows. Parameterized by crawler name: infra_ns and
+    umbrella1m reuse the same record shape over their own seeds
+    (ref openintel/infra_ns.py, umbrella1m.py)."""
     rng = _rng(name)
     n_dom = max(6, int(30 * min(scale, 1.0)))
     docs = []
@@ -1748,4 +1750,427 @@ GENERATORS.update({
     "virginiatech.rovista": gen_virginiatech_rovista,
     "citizenlab.urldb": gen_citizenlab_urldb,
     "iana.address_space": gen_iana_address_space,
+})
+
+
+# ------------------------------------------------------- cloudflare / atlas
+
+def gen_cloudflare_top100(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref cloudflare/top100.py:32-72: 100 {rank, domain} entries."""
+    name = "cloudflare.top100"
+    rng = _rng(name)
+    pool = domain_pool()
+    docs = []
+    for i in range(100):
+        rec = {"rank": i + 1, "domain": rng.choice(pool)}
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name,
+                               _spans([("text", json.dumps(rec, sort_keys=True))]),
+                               rec))
+    return docs
+
+
+def gen_cloudflare_ranking_bucket(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref cloudflare/ranking_bucket.py:36-119: one doc per dataset
+    (meta JSON + newline-joined domain file body, header already dropped)."""
+    name = "cloudflare.ranking_bucket"
+    rng = _rng(name)
+    pool = domain_pool()
+    docs = []
+    for i, (title, top) in enumerate([("Top 200", 200), ("Top 500", 500),
+                                      ("Top 1000", 1000)]):
+        meta = {"id": i + 1, "title": title,
+                "description": f"Cloudflare {title} ranking bucket"}
+        domains = sorted(set(rng.sample(pool, min(int(60 * min(scale, 1.0)) or 10,
+                                                  len(pool)))))
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name,
+                               _spans([("text", json.dumps(meta, sort_keys=True)),
+                                       ("text", "\n".join(domains))]),
+                               {"title": title, "domains": domains}))
+    return docs
+
+
+def _dns_top_names(scale: float, rng: random.Random) -> list[str]:
+    """Names the fetcher would have queried: mostly graph-eligible ranked
+    DomainNames (tranco / top100), ~25% names with no qualifying RANK edge
+    (ranking_bucket-only or novel) that the seed semi-join must drop."""
+    tranco = [d.record["domain"] for d in gen_tranco_top1m(scale)]
+    top100 = [d.record["domain"] for d in gen_cloudflare_top100(scale)]
+    novel = [f"novel{i}.example" for i in range(20)]
+    bucket_only = []
+    eligible = set(tranco) | set(top100)
+    for d in gen_cloudflare_ranking_bucket(scale):
+        bucket_only += [x for x in d.record["domains"] if x not in eligible]
+    names = []
+    k = int(80 * min(scale, 1.0)) or 12
+    for _ in range(k):
+        r = rng.random()
+        if r < 0.75 or not (bucket_only or novel):
+            names.append(rng.choice(tranco if rng.random() < 0.7 else top100))
+        elif r < 0.9 and bucket_only:
+            names.append(rng.choice(bucket_only))
+        else:
+            names.append(rng.choice(novel))
+    return sorted(set(names))
+
+
+def gen_cloudflare_dns_top_ases(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref cloudflare/dns_top_ases.py:22-55 + __init__.py:208-227."""
+    name = "cloudflare.dns_top_ases"
+    rng = _rng(name)
+    docs = []
+    for i, nm in enumerate(_dns_top_names(scale, rng)):
+        entries = [
+            {"clientASN": rng.choice(asn_pool()),
+             "clientASName": org_name(rng),
+             "value": f"{rng.uniform(0.1, 60.0):.4f}"}
+            for _ in range(rng.randint(1, 6))
+        ]
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name,
+                               _spans([("text", nm),
+                                       ("text", json.dumps(entries,
+                                                           sort_keys=True))]),
+                               {"name": nm, "entries": entries}))
+    return docs
+
+
+def gen_cloudflare_dns_top_locations(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref cloudflare/dns_top_locations.py:20-49."""
+    name = "cloudflare.dns_top_locations"
+    rng = _rng(name)
+    docs = []
+    for i, nm in enumerate(_dns_top_names(scale, rng)):
+        entries = [
+            {"clientCountryAlpha2": rng.choice(COUNTRIES).upper(),
+             "clientCountryName": "Somewhere",
+             "value": f"{rng.uniform(0.1, 60.0):.4f}"}
+            for _ in range(rng.randint(1, 6))
+        ]
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name,
+                               _spans([("text", nm),
+                                       ("text", json.dumps(entries,
+                                                           sort_keys=True))]),
+                               {"name": nm, "entries": entries}))
+    return docs
+
+
+def gen_ripe_atlas_probes(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref ripe/atlas_probes.py:69-204: paginated pages; duplicate ids,
+    uncompressed v6 addresses, asn 0/null, invalid country codes,
+    out-of-range and null-island geometries."""
+    name = "ripe.atlas_probes"
+    rng = _rng(name)
+    n = int(200 * min(scale, 1.0)) or 20
+    pool = asn_pool()
+    probes = []
+    for i in range(n):
+        pid = 10000 + i
+        p = {"id": pid}
+        r = rng.random()
+        p["address_v4"] = (f"193.0.{rng.randint(0, 255)}.{rng.randint(1, 254)}"
+                           if r < 0.75 else ("" if r < 0.85 else None))
+        r = rng.random()
+        if r < 0.5:
+            h = rng.randint(0, 0xFFFF)
+            p["address_v6"] = (f"2001:0db8:{h:04x}:0000:0000:0000:0000:0001"
+                               if rng.random() < 0.3
+                               else f"2001:db8:{h:x}::1")
+        else:
+            p["address_v6"] = None
+        p["asn_v4"] = rng.choice(pool) if rng.random() < 0.8 else (
+            0 if rng.random() < 0.5 else None)
+        p["asn_v6"] = rng.choice(pool) if rng.random() < 0.5 else None
+        r = rng.random()
+        p["country_code"] = (rng.choice(COUNTRIES).upper() if r < 0.8
+                             else ("XX" if r < 0.9 else None))
+        r = rng.random()
+        if r < 0.7:
+            p["geometry"] = {"type": "Point",
+                             "coordinates": [round(rng.uniform(-180, 180), 2),
+                                             round(rng.uniform(-90, 90), 2)]}
+        elif r < 0.78:
+            p["geometry"] = {"type": "Point", "coordinates": [0.0, 0.0]}
+        elif r < 0.85:
+            p["geometry"] = {"type": "Point", "coordinates": [200.5, 95.0]}
+        else:
+            p["geometry"] = None
+        p["is_anchor"] = rng.random() < 0.1
+        p["is_public"] = True
+        p["status"] = {"id": 1, "name": rng.choice(["Connected", "Abandoned"])}
+        p["tags"] = ([{"slug": "home"}] if rng.random() < 0.5 else [])
+        probes.append(p)
+    # ~3% duplicated probe records (identical payload, :95-98)
+    for p in rng.sample(probes, max(1, n // 33)):
+        probes.append(dict(p))
+    docs = []
+    page_size = 50
+    for i in range(0, len(probes), page_size):
+        page = {"results": probes[i:i + page_size]}
+        docs.append(FixtureDoc(f"{name}/{i // page_size:06d}", name,
+                               _spans([("text", json.dumps(page,
+                                                           sort_keys=True))]),
+                               {"results": probes[i:i + page_size]}))
+    return docs
+
+
+GENERATORS.update({
+    "cloudflare.top100": gen_cloudflare_top100,
+    "cloudflare.ranking_bucket": gen_cloudflare_ranking_bucket,
+    "cloudflare.dns_top_ases": gen_cloudflare_dns_top_ases,
+    "cloudflare.dns_top_locations": gen_cloudflare_dns_top_locations,
+    "ripe.atlas_probes": gen_ripe_atlas_probes,
+})
+
+
+# --------------------------------------------- anycast / asrel / peerstats
+
+def _gen_anycast(name: str, v6: bool, scale: float) -> list[FixtureDoc]:
+    rng = _rng(name)
+    n = int(150 * min(scale, 1.0)) or 15
+    pool = [p for p in prefix_pool() if (":" in p) == v6]
+    docs = []
+    for i in range(n):
+        prefix = (rng.choice(MALFORMED_PREFIXES) if rng.random() < 0.02
+                  else rng.choice(pool))
+        probed = (f"2001:db8:{rng.randint(0, 0xffff):x}::1" if v6
+                  else f"198.51.{rng.randint(0, 255)}.{rng.randint(1, 254)}")
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name,
+                               _spans([("text", f"{prefix},{probed}")]),
+                               {"prefix": prefix, "probed_ip": probed}))
+    return docs
+
+
+def gen_bgptools_anycast_v4(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref bgptools/__init__.py:20-56."""
+    return _gen_anycast("bgptools.anycast_prefixes_v4", False, scale)
+
+
+def gen_bgptools_anycast_v6(scale: float = 1.0) -> list[FixtureDoc]:
+    return _gen_anycast("bgptools.anycast_prefixes_v6", True, scale)
+
+
+def _gen_caida_asrel(name: str, scale: float) -> list[FixtureDoc]:
+    rng = _rng(name)
+    n = int(300 * min(scale, 1.0)) or 30
+    draws = zipf_asns(rng, 2 * n)
+    docs = [
+        FixtureDoc(f"{name}/hdr", name,
+                   _spans([("text", "# source: topology inference")]),
+                   {"comment": True})
+    ]
+    seen = set()
+    for i in range(n):
+        a, b = draws[2 * i], draws[2 * i + 1]
+        if a == b or (a, b) in seen:
+            continue
+        seen.add((a, b))
+        kind = rng.choice([-1, 0])
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name,
+                               _spans([("text", f"{a}|{b}|{kind}")]),
+                               {"left": a, "right": b, "rel": kind}))
+    return docs
+
+
+def gen_caida_asrel_v4(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref caida/__init__.py:42-67."""
+    return _gen_caida_asrel("caida.as_relationships_v4", scale)
+
+
+def gen_caida_asrel_v6(scale: float = 1.0) -> list[FixtureDoc]:
+    return _gen_caida_asrel("caida.as_relationships_v6", scale)
+
+
+def gen_bgpkit_peerstats(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref bgpkit/peerstats.py:25-100: one doc per collector stats file."""
+    name = "bgpkit.peerstats"
+    rng = _rng(name)
+    n_coll = max(3, int(10 * min(scale, 1.0)))
+    docs = []
+    for i in range(n_coll):
+        coll = f"rrc{i:02d}" if i % 2 == 0 else f"route-views.{i}"
+        project = "riperis" if coll.startswith("rrc") else "routeviews"
+        peers = {}
+        for j in range(rng.randint(5, 25)):
+            asn = rng.choice(asn_pool())
+            peers[f"10.0.{i}.{j}"] = {
+                "asn": asn,
+                "num_v4_pfxs": rng.randint(0, 900000),
+                "num_v6_pfxs": rng.randint(0, 200000),
+                "num_connected_asns": rng.randint(1, 5000),
+            }
+        rec = {"collector": coll, "project": project, "peers": peers}
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name,
+                               _spans([("text", json.dumps(rec, sort_keys=True))]),
+                               rec))
+    return docs
+
+
+def gen_amazon_aws(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref amazon/aws_ip_ranges.py:41-215: region-table docs + prefix
+    entries; unmapped regions, name overrides, ADDITIONAL_REGIONS gaps."""
+    name = "amazon.aws_ip_ranges"
+    rng = _rng(name)
+    geographies = [
+        ("us-east-1", "United States"), ("us-west-2", "United States"),
+        ("eu-central-1", "Germany"), ("eu-west-3", "France"),
+        ("ap-northeast-1", "Japan"), ("ap-south-1", "India"),
+        ("sa-east-1", "Brazil"), ("ap-southeast-2", "Australia"),
+        ("ap-east-1", "Hong Kong"), ("me-central-1", "UAE"),
+        ("ap-northeast-2", "South Korea"), ("xx-unknown-1", "Atlantis"),
+    ]
+    docs = []
+    seq = 0
+    for region, geo in geographies:
+        rec = {"region": region, "geography": geo}
+        docs.append(FixtureDoc(f"{name}/{seq:06d}", name,
+                               _spans([("text", "region"),
+                                       ("text", json.dumps(rec, sort_keys=True))]),
+                               {"kind": "region", **rec}))
+        seq += 1
+    regions = ([r for r, _ in geographies] +
+               ["cn-north-1", "us-gov-west-1", "zz-nowhere-1"])
+    services = ["AMAZON", "EC2", "S3", "CLOUDFRONT", "ROUTE53"]
+    n = int(200 * min(scale, 1.0)) or 20
+    pool = valid_prefix_pool()
+    for i in range(n):
+        v6 = rng.random() < 0.4
+        pfx = rng.choice([p for p in pool if (":" in p) == v6])
+        rec = {"prefix": pfx, "region": rng.choice(regions),
+               "service": rng.choice(services)}
+        docs.append(FixtureDoc(f"{name}/{seq:06d}", name,
+                               _spans([("text", "v6" if v6 else "v4"),
+                                       ("text", json.dumps(rec, sort_keys=True))]),
+                               {"kind": "prefix", **rec}))
+        seq += 1
+    return docs
+
+
+GENERATORS.update({
+    "bgptools.anycast_prefixes_v4": gen_bgptools_anycast_v4,
+    "bgptools.anycast_prefixes_v6": gen_bgptools_anycast_v6,
+    "caida.as_relationships_v4": gen_caida_asrel_v4,
+    "caida.as_relationships_v6": gen_caida_asrel_v6,
+    "bgpkit.peerstats": gen_bgpkit_peerstats,
+    "amazon.aws_ip_ranges": gen_amazon_aws,
+})
+
+
+# ---------------------------------------- openintel flavors / laces / fac
+
+def gen_openintel_infra_ns(scale: float = 1.0) -> list[FixtureDoc]:
+    return gen_openintel(scale, name="openintel.infra_ns")
+
+
+def gen_openintel_umbrella1m(scale: float = 1.0) -> list[FixtureDoc]:
+    return gen_openintel(scale, name="openintel.umbrella1m")
+
+
+def _gen_laces(name: str, v6: bool, scale: float) -> list[FixtureDoc]:
+    """ref utwente/__init__.py:21-104: GCD ≤ 1 rows, empty location lists,
+    locations without country mapping, malformed prefixes."""
+    rng = _rng(name)
+    n = int(120 * min(scale, 1.0)) or 12
+    pool = [p for p in valid_prefix_pool() if (":" in p) == v6]
+    docs = []
+    for i in range(n):
+        backing = rng.choice(pool)
+        prefix = (rng.choice(MALFORMED_PREFIXES) if rng.random() < 0.02
+                  else rng.choice(pool))
+        k = rng.choice([0, 1, 1, 2, 3])
+        locations = []
+        for _ in range(k):
+            loc = {"lat": round(rng.uniform(-60, 70), 2),
+                   "lon": round(rng.uniform(-180, 180), 2),
+                   "country_code": (rng.choice(COUNTRIES).upper()
+                                    if rng.random() < 0.8 else ""),
+                   "city": rng.choice(["Amsterdam", "Tokyo", "Denver", ""])}
+            locations.append(loc)
+        rec = {"prefix": prefix, "backing_prefix": backing,
+               "gcd": rng.choice([0, 1, 2, 5, 17]), "locations": locations}
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name,
+                               _spans([("text", json.dumps(rec, sort_keys=True))]),
+                               rec))
+    return docs
+
+
+def gen_utwente_laces_v4(scale: float = 1.0) -> list[FixtureDoc]:
+    return _gen_laces("utwente.laces_v4", False, scale)
+
+
+def gen_utwente_laces_v6(scale: float = 1.0) -> list[FixtureDoc]:
+    return _gen_laces("utwente.laces_v6", True, scale)
+
+
+def gen_peeringdb_fac(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref peeringdb/fac.py:52-166: facilities with whitespace-padded
+    names, empty websites, invalid countries, 0.0 coordinates (falsy →
+    no Point), social_media lists."""
+    name = "peeringdb.fac"
+    rng = _rng(name)
+    n = max(8, int(40 * min(scale, 1.0)))
+    docs = []
+    for i in range(n):
+        fac_name = f"{org_name(rng)} DC{i}"
+        rec = {
+            "id": 700 + i,
+            "name": (f"  {fac_name} " if rng.random() < 0.1 else fac_name),
+            "org_id": 1000 + (i % 50),
+            "website": (f"https://fac{i}.example.net"
+                        if rng.random() < 0.75 else ""),
+            "country": (rng.choice(COUNTRIES).upper() if rng.random() < 0.85
+                        else rng.choice(["XX", ""])),
+            "city": rng.choice(["Frankfurt", "Ashburn", "Singapore"]),
+            "latitude": (0.0 if rng.random() < 0.1
+                         else round(rng.uniform(-60, 70), 4)),
+            "longitude": (0.0 if rng.random() < 0.1
+                          else round(rng.uniform(-180, 180), 4)),
+        }
+        if rng.random() < 0.5:
+            rec["social_media"] = [
+                {"service": "website", "identifier": f"https://social{i}.example.org"},
+                {"service": "twitter", "identifier": f"@fac{i}"},
+            ]
+        else:
+            rec["social_media"] = []
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name,
+                               _spans([("text", json.dumps(rec, sort_keys=True))]),
+                               rec))
+    return docs
+
+
+def gen_google_crux(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref google/crux_top1m_country.py:57-149: per-country CSV rows of
+    (origin, rank); origins with ports and both schemes."""
+    name = "google.crux_top1m_country"
+    rng = _rng(name)
+    n_cc = max(4, int(10 * min(scale, 1.0)))
+    domains = domain_pool()
+    docs = []
+    seq = 0
+    for i in range(n_cc):
+        cc = COUNTRIES[(i * 3) % len(COUNTRIES)].upper()
+        k = rng.randint(8, 25)
+        for j in range(k):
+            host = rng.choice(domains)
+            if rng.random() < 0.3:
+                host = f"www.{host}"
+            scheme = rng.choice(["https", "http"])
+            port = f":{rng.choice([8080, 443])}" if rng.random() < 0.1 else ""
+            origin = f"{scheme}://{host}{port}"
+            rank = rng.choice([1000, 5000, 10000, 50000, 100000])
+            docs.append(FixtureDoc(f"{name}/{seq:06d}", name,
+                                   _spans([("text", cc),
+                                           ("text", f"{origin},{rank}")]),
+                                   {"cc": cc, "origin": origin, "host": host,
+                                    "rank": rank}))
+            seq += 1
+    return docs
+
+
+GENERATORS.update({
+    "openintel.infra_ns": gen_openintel_infra_ns,
+    "openintel.umbrella1m": gen_openintel_umbrella1m,
+    "utwente.laces_v4": gen_utwente_laces_v4,
+    "utwente.laces_v6": gen_utwente_laces_v6,
+    "peeringdb.fac": gen_peeringdb_fac,
+    "google.crux_top1m_country": gen_google_crux,
 })

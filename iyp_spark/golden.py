@@ -923,3 +923,219 @@ GOLDEN.update({
     "citizenlab.urldb": golden_citizenlab_urldb,
     "iana.address_space": golden_iana_address_space,
 })
+
+
+# ------------------------------------------------------- cloudflare / atlas
+
+def golden_cloudflare_top100(docs: list[FixtureDoc]) -> set[Triple]:
+    return {_t("DomainName", d.record["domain"], "RANK", "Ranking",
+               "Cloudflare top 100 domains") for d in docs}
+
+
+def golden_cloudflare_ranking_bucket(docs: list[FixtureDoc]) -> set[Triple]:
+    out = set()
+    for d in docs:
+        ranking = f'Cloudflare {d.record["title"]}'
+        for dom in d.record["domains"]:
+            out.add(_t("DomainName", dom, "RANK", "Ranking", ranking))
+    return out
+
+
+def golden_cloudflare_dns_top(docs: list[FixtureDoc], eligible: set,
+                              kind: str) -> set[Triple]:
+    """ref cloudflare dns_top_{ases,locations}: links only for names the
+    seed scan selected (RANK edge with rank ≤ threshold; at fixture scale
+    every ranked DomainName qualifies)."""
+    out = set()
+    for d in docs:
+        if d.record["name"] not in eligible:
+            continue
+        for e in d.record["entries"]:
+            if kind == "ases":
+                out.add(_t("DomainName", d.record["name"], "QUERIED_FROM",
+                           "AS", e["clientASN"]))
+            else:
+                out.add(_t("DomainName", d.record["name"], "QUERIED_FROM",
+                           "Country", e["clientCountryAlpha2"]))
+    return out
+
+
+def golden_ripe_atlas_probes(docs: list[FixtureDoc]) -> set[Triple]:
+    """ref ripe/atlas_probes.py:89-204."""
+    from .canon import ISO3166_ALPHA2
+
+    out = set()
+    seen = set()
+    for d in docs:
+        for p in d.record["results"]:
+            pid = p["id"]
+            if not pid or pid in seen:
+                continue
+            seen.add(pid)
+            if p.get("address_v4"):
+                out.add(_t("IP", p["address_v4"], "ASSIGNED",
+                           "AtlasProbe", pid))
+            if p.get("address_v6"):
+                v6 = _ipaddr.ip_address(p["address_v6"]).compressed
+                out.add(_t("IP", v6, "ASSIGNED", "AtlasProbe", pid))
+            if p.get("asn_v4"):
+                out.add(_t("AtlasProbe", pid, "LOCATED_IN", "AS", p["asn_v4"]))
+            if p.get("asn_v6"):
+                out.add(_t("AtlasProbe", pid, "LOCATED_IN", "AS", p["asn_v6"]))
+            cc = p.get("country_code")
+            if cc and cc in ISO3166_ALPHA2:
+                out.add(_t("AtlasProbe", pid, "COUNTRY", "Country", cc))
+            if p.get("geometry") and p["geometry"].get("coordinates"):
+                lon, lat = p["geometry"]["coordinates"]
+                if -180 <= lon <= 180 and -90 <= lat <= 90:
+                    out.add(_t("AtlasProbe", pid, "LOCATED_IN", "Point",
+                               f"{lon},{lat}"))
+    return out
+
+
+GOLDEN.update({
+    "cloudflare.top100": golden_cloudflare_top100,
+    "cloudflare.ranking_bucket": golden_cloudflare_ranking_bucket,
+    "ripe.atlas_probes": golden_ripe_atlas_probes,
+})
+
+
+# --------------------------------------------- anycast / asrel / peerstats
+
+def golden_anycast(docs: list[FixtureDoc]) -> set[Triple]:
+    out = set()
+    for d in docs:
+        try:
+            pfx = _ipaddr.ip_network(d.record["prefix"]).compressed
+        except ValueError:
+            continue
+        out.add(_t("BGPPrefix", pfx, "CATEGORIZED", "Tag", "Anycast"))
+    return out
+
+
+def golden_caida_asrel(docs: list[FixtureDoc]) -> set[Triple]:
+    return {
+        _t("AS", d.record["left"], "PEERS_WITH", "AS", d.record["right"])
+        for d in docs if not d.record.get("comment")
+    }
+
+
+def golden_bgpkit_peerstats(docs: list[FixtureDoc]) -> set[Triple]:
+    out = set()
+    for d in docs:
+        coll = d.record["collector"]
+        for p in d.record["peers"].values():
+            out.add(_t("AS", p["asn"], "PEERS_WITH", "BGPCollector", coll))
+    return out
+
+
+def golden_amazon_aws(docs: list[FixtureDoc]) -> set[Triple]:
+    """ref amazon/aws_ip_ranges.py:75-207."""
+    overrides = {"United States": "US", "South Korea": "KR", "Taiwan": "TW",
+                 "UAE": "AE"}
+    additional = {"cn-north-1": "CN", "cn-northwest-1": "CN",
+                  "eusc-de-east-1": "DE", "us-gov-east-1": "US",
+                  "us-gov-west-1": "US"}
+    from .data_iso3166 import COUNTRIES as ISO
+
+    name_to_a2 = {nm.upper(): a2 for a2, (_, nm) in ISO.items()}
+    region_map = {}
+    for d in docs:
+        if d.record["kind"] != "region":
+            continue
+        geo = d.record["geography"]
+        cc = overrides.get(geo) or name_to_a2.get(geo.upper())
+        if cc:
+            region_map[d.record["region"]] = cc
+    for r, cc in additional.items():
+        region_map.setdefault(r, cc)
+    out = set()
+    for d in docs:
+        if d.record["kind"] != "prefix":
+            continue
+        pfx = _ipaddr.ip_network(d.record["prefix"]).compressed
+        out.add(_t("GeoPrefix", pfx, "CATEGORIZED", "Tag",
+                   d.record["service"]))
+        cc = region_map.get(d.record["region"])
+        if cc:
+            out.add(_t("GeoPrefix", pfx, "COUNTRY", "Country", cc))
+    return out
+
+
+GOLDEN.update({
+    "bgptools.anycast_prefixes_v4": golden_anycast,
+    "bgptools.anycast_prefixes_v6": golden_anycast,
+    "caida.as_relationships_v4": golden_caida_asrel,
+    "caida.as_relationships_v6": golden_caida_asrel,
+    "bgpkit.peerstats": golden_bgpkit_peerstats,
+    "amazon.aws_ip_ranges": golden_amazon_aws,
+})
+
+
+# ---------------------------------------- openintel flavors / laces / fac
+
+def golden_utwente_laces(docs: list[FixtureDoc]) -> set[Triple]:
+    """ref utwente/__init__.py:35-104."""
+    out = set()
+    for d in docs:
+        r = d.record
+        if r["gcd"] <= 1:
+            continue
+        try:
+            pfx = _ipaddr.ip_network(r["prefix"]).compressed
+            backing = _ipaddr.ip_network(r["backing_prefix"]).compressed
+        except ValueError:
+            continue
+        out.add(_t("BGPPrefix", backing, "CATEGORIZED", "Tag", "Anycast"))
+        for loc in r["locations"]:
+            out.add(_t("GeoPrefix", pfx, "LOCATED_IN", "Point",
+                       f'{loc["lon"]},{loc["lat"]}'))
+            if loc["country_code"]:
+                out.add(_t("GeoPrefix", pfx, "COUNTRY", "Country",
+                           loc["country_code"]))
+    return out
+
+
+def golden_peeringdb_fac(docs: list[FixtureDoc],
+                         org_extid_to_name: dict) -> set[Triple]:
+    """ref peeringdb/fac.py:64-166."""
+    from .canon import ISO3166_ALPHA2
+
+    out = set()
+    for d in docs:
+        r = d.record
+        fac = r["name"].strip()
+        out.add(_t("Facility", fac, "NAME", "Name", fac))
+        out.add(_t("Facility", fac, "EXTERNAL_ID", "PeeringdbFacID", r["id"]))
+        if r["website"]:
+            out.add(_t("Facility", fac, "WEBSITE", "URL",
+                       r["website"].strip()))
+        if r["country"] in ISO3166_ALPHA2:
+            out.add(_t("Facility", fac, "COUNTRY", "Country", r["country"]))
+        if r["latitude"] and r["longitude"]:
+            out.add(_t("Facility", fac, "LOCATED_IN", "Point",
+                       f'{r["longitude"]},{r["latitude"]}'))
+        if r["org_id"] in org_extid_to_name:
+            out.add(_t("Facility", fac, "MANAGED_BY", "Organization",
+                       org_extid_to_name[r["org_id"]]))
+    return out
+
+
+def golden_google_crux(docs: list[FixtureDoc]) -> set[Triple]:
+    """ref google/crux_top1m_country.py:92-126."""
+    out = set()
+    for d in docs:
+        r = d.record
+        ranking = f'CrUX top 1M ({r["cc"]})'
+        out.add(_t("Ranking", ranking, "COUNTRY", "Country", r["cc"]))
+        out.add(_t("HostName", r["host"], "RANK", "Ranking", ranking))
+    return out
+
+
+GOLDEN.update({
+    "openintel.infra_ns": golden_openintel,
+    "openintel.umbrella1m": golden_openintel,
+    "utwente.laces_v4": golden_utwente_laces,
+    "utwente.laces_v6": golden_utwente_laces,
+    "google.crux_top1m_country": golden_google_crux,
+})

@@ -48,10 +48,23 @@ def golden_for(name: str) -> set:
         }
         return golden_inetintel(docs, existing)
     if name == "cisco.umbrella_top1m":
-        existing_domains = {
-            d.record["domain"] for d in GENERATORS["tranco.top1m"](SCALE)
-        }
-        return golden_umbrella(docs, existing_domains, set())
+        # names already in the graph when umbrella runs: DomainName /
+        # HostName endpoints from every crawler ordered before it
+        existing_domains, existing_hosts = set(), set()
+        for cls in CRAWLER_ORDER:
+            if cls.NAME == name:
+                break
+            for t in golden_for(cls.NAME):
+                sl, sk, _, ol, ok = t
+                if sl == "DomainName":
+                    existing_domains.add(sk)
+                if ol == "DomainName":
+                    existing_domains.add(ok)
+                if sl == "HostName":
+                    existing_hosts.add(sk)
+                if ol == "HostName":
+                    existing_hosts.add(ok)
+        return golden_umbrella(docs, existing_domains, existing_hosts)
     if name == "worldbank.country_pop":
         from iyp_spark.golden import golden_worldbank
 
@@ -74,6 +87,27 @@ def golden_for(name: str) -> set:
             for d in GENERATORS["peeringdb.org"](SCALE)
         }
         return golden_peeringdb_ix(docs, org_map)
+    if name == "peeringdb.fac":
+        from iyp_spark.golden import golden_peeringdb_fac
+
+        org_map = {
+            d.record["id"]: d.record["name"].strip()
+            for d in GENERATORS["peeringdb.org"](SCALE)
+        }
+        return golden_peeringdb_fac(docs, org_map)
+    if name in ("cloudflare.dns_top_ases", "cloudflare.dns_top_locations"):
+        from iyp_spark.golden import golden_cloudflare_dns_top
+
+        eligible = set()
+        for src in ("tranco.top1m", "cisco.umbrella_top1m",
+                    "cloudflare.top100"):
+            for t in golden_for(src):
+                sl, sk, pred, ol, ok = t
+                if sl == "DomainName" and pred == "RANK":
+                    eligible.add(sk)
+        return golden_cloudflare_dns_top(
+            docs, eligible, "ases" if name.endswith("ases") else "locations"
+        )
     if name == "alice_lg.decix":
         from iyp_spark.fixtures import alice_lan_map
         from iyp_spark.golden import golden_alice_lg
