@@ -57,16 +57,31 @@ def main():
     # warm the JVM/codegen so we measure the job, not first-run compilation
     store.read_documents().limit(10).count()
 
+    def jvm_cpu_seconds() -> float:
+        """utime+stime of the local-mode JVM from /proc — the CPU the
+        executors+GC+codegen actually burned. Work-conservation check:
+        CPU per doc should be ~flat across core counts; a wall-clock
+        efficiency dip with flat CPU is host frequency/cache contention,
+        not a serialized plan."""
+        pid = spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
+        with open(f"/proc/{pid}/stat") as f:
+            rest = f.read().rsplit(")", 1)[1].split()
+        return (int(rest[11]) + int(rest[12])) / os.sysconf("SC_CLK_TCK")
+
+    cpu0 = jvm_cpu_seconds()
     t0 = time.time()
     result = run_pipeline_batched(store, CRAWLER_ORDER, count_rows=False,
                                   nodes_from_triples=True)
     dt = time.time() - t0
+    cpu = jvm_cpu_seconds() - cpu0
     result["triples"] = spark.read.parquet(store.triples_path).count()
     print(json.dumps({
         "cores": args.cores,
         "docs": n_docs,
         "seconds": round(dt, 2),
         "docs_per_sec": round(n_docs / dt, 1),
+        "cpu_seconds": round(cpu, 2),
+        "cpu_busy_fraction": round(cpu / (dt * args.cores), 3),
         "triples": result["triples"],
     }))
     spark.stop()

@@ -25,8 +25,10 @@ from .pch_routing import PchRoutingV4
 from .worldbank_pop import WorldBankCountryPop
 from .iana_root_zone import IanaRootZone
 from .ripe_roa import RipeRoa
-from .ooni import (OoniPsiphon, OoniSignal, OoniTelegram, OoniTor,
-                   OoniWebConnectivity, OoniWhatsApp)
+from .ooni import (OoniFacebookMessenger, OoniHttpHeaderFieldManipulation,
+                   OoniHttpInvalidRequestLine, OoniPsiphon, OoniRiseupVpn,
+                   OoniSignal, OoniTelegram, OoniTor, OoniTorsf,
+                   OoniVanillaTor, OoniWebConnectivity, OoniWhatsApp)
 from .caida_ixs import CaidaIxAsns, CaidaIxs
 from .geolite import IpinfoIpCountry, MaxmindGeoliteCountry
 from .alice_lg import AliceLgDecix
@@ -45,6 +47,8 @@ from .amazon_aws import AmazonAwsIpRanges
 from .utwente_laces import UtwenteLacesV4, UtwenteLacesV6
 from .peeringdb_fac import PeeringdbFac
 from .google_crux import GoogleCruxCountry
+from .ripe_atlas_measurements import RipeAtlasMeasurements
+from .simulamet_rdns import SimulametRirdataRdns
 
 CRAWLER_ORDER = [
     PfxToAsn,
@@ -85,16 +89,24 @@ CRAWLER_ORDER = [
     OpenIntelInfraNs,
     OpenIntelUmbrella1M,
     GoogleCruxCountry,
+    SimulametRirdataRdns,
     OoniWebConnectivity,
     OoniTelegram,
     OoniWhatsApp,
     OoniSignal,
     OoniPsiphon,
     OoniTor,
+    OoniHttpInvalidRequestLine,
+    OoniHttpHeaderFieldManipulation,
+    OoniRiseupVpn,
+    OoniVanillaTor,
+    OoniTorsf,
+    OoniFacebookMessenger,
     # second wave (NEEDS_EXISTING): read dictionaries/edges from the first
     CiscoUmbrella,  # prefers existing DomainName/HostName nodes
     PeeringdbIx,    # resolves orgs through PeeringdbOrgID EXTERNAL_ID edges
     PeeringdbFac,   # same org indirection; Facility nodes
+    RipeAtlasMeasurements,  # reads AtlasProbe.status_id node props
     InetIntelAsOrg,  # org siblings only among pre-existing Organizations
     WorldBankCountryPop,  # links only pre-existing Country nodes
     NroDelegatedStats,  # links only pre-existing AS nodes (runs last)

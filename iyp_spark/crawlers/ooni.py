@@ -451,3 +451,145 @@ class OoniTor(OoniCrawler):
             self.make_triples(categorized, "CATEGORIZED", "IP", "ip", "Tag", "tag"),
         ]
         return nodes, triples
+
+
+class OoniHttpInvalidRequestLine(_TagCensoredCrawler):
+    """ref iyp/crawlers/ooni/httpinvalidrequestline.py:15-65: bool
+    tampering → tampering/no_tampering."""
+
+    NAME = "ooni.httpinvalidrequestline"
+    DATASET = "httpinvalidrequestline"
+    TAG_LABEL = "OONI HTTP Invalid Request Line Test"
+    CATEGORIES = ["tampering", "no_tampering"]
+    RESULT_COLS = ["result"]
+    EXPECTED_PREDS = ["CENSORED"]
+    TK_FIELDS = [T.StructField("tampering", T.BooleanType())]
+
+    def derive_results(self, rows: DataFrame) -> DataFrame:
+        return rows.withColumn(
+            "result",
+            F.when(F.col("test_keys.tampering"), F.lit("tampering"))
+            .otherwise(F.lit("no_tampering")),
+        )
+
+
+class OoniHttpHeaderFieldManipulation(_TagCensoredCrawler):
+    """ref iyp/crawlers/ooni/httpheaderfieldmanipulation.py:15-122: five
+    NON-disjunct tampering sub-results per row — each measurement counts
+    once in every pair, so the group total is COUNT(*), exactly
+    percentage_agg's total (the reference computes it as
+    counts['total'] + counts['no_total'], :116-119)."""
+
+    NAME = "ooni.httpheaderfieldmanipulation"
+    DATASET = "httpheaderfieldmanipulation"
+    TAG_LABEL = "OONI HTTP Header Field Manipulation Test"
+    SUBTESTS = ["total", "request_line_capitalization",
+                "header_name_capitalization", "header_field_value",
+                "header_field_number"]
+    CATEGORIES = [c for s in SUBTESTS for c in (s, f"no_{s}")]
+    RESULT_COLS = [f"r_{s}" for s in SUBTESTS]
+    EXPECTED_PREDS = ["CENSORED"]
+    TK_FIELDS = [T.StructField("tampering", T.StructType([
+        T.StructField(s, T.BooleanType()) for s in SUBTESTS
+    ]))]
+
+    def derive_results(self, rows: DataFrame) -> DataFrame:
+        for s in self.SUBTESTS:
+            # .get(key, False): null → the no_ category (:45-62)
+            rows = rows.withColumn(
+                f"r_{s}",
+                F.when(F.coalesce(F.col(f"test_keys.tampering.{s}"),
+                                  F.lit(False)),
+                       F.lit(s)).otherwise(F.lit(f"no_{s}")),
+            )
+        return rows
+
+
+class OoniRiseupVpn(_TagCensoredCrawler):
+    """ref iyp/crawlers/ooni/riseupvpn.py:15-65: ok iff no api_failures
+    and ca_cert_status."""
+
+    NAME = "ooni.riseupvpn"
+    DATASET = "riseupvpn"
+    TAG_LABEL = "OONI RiseupVPN Test"
+    CATEGORIES = ["ok", "failure"]
+    RESULT_COLS = ["result"]
+    EXPECTED_PREDS = ["CENSORED"]
+    TK_FIELDS = [
+        T.StructField("api_failures", T.ArrayType(T.StringType())),
+        T.StructField("ca_cert_status", T.BooleanType()),
+    ]
+
+    def derive_results(self, rows: DataFrame) -> DataFrame:
+        ok = (
+            (F.col("test_keys.api_failures").isNull()
+             | (F.size("test_keys.api_failures") == 0))
+            & F.coalesce(F.col("test_keys.ca_cert_status"), F.lit(False))
+        )
+        return rows.withColumn(
+            "result", F.when(ok, F.lit("ok")).otherwise(F.lit("failure"))
+        )
+
+
+class _SuccessTagCrawler(_TagCensoredCrawler):
+    """vanillator / torsf share the bool-success shape; torsf pops rows
+    missing the key entirely (torsf.py:25-27)."""
+
+    CATEGORIES = ["ok", "failure"]
+    RESULT_COLS = ["result"]
+    EXPECTED_PREDS = ["CENSORED"]
+    REQUIRE_KEY = False
+    TK_FIELDS = [T.StructField("success", T.BooleanType())]
+
+    def derive_results(self, rows: DataFrame) -> DataFrame:
+        if self.REQUIRE_KEY:
+            rows = rows.filter(F.array_contains("tk_keys", "success"))
+        return rows.withColumn(
+            "result",
+            F.when(F.coalesce(F.col("test_keys.success"), F.lit(False)),
+                   F.lit("ok")).otherwise(F.lit("failure")),
+        )
+
+
+class OoniVanillaTor(_SuccessTagCrawler):
+    """ref iyp/crawlers/ooni/vanillator.py:15-60."""
+
+    NAME = "ooni.vanillator"
+    DATASET = "vanillator"
+    TAG_LABEL = "OONI Vanilla Tor Test"
+
+
+class OoniTorsf(_SuccessTagCrawler):
+    """ref iyp/crawlers/ooni/torsf.py:15-62."""
+
+    NAME = "ooni.torsf"
+    DATASET = "torsf"
+    TAG_LABEL = "OONI Tor Snowflake Test"
+    REQUIRE_KEY = True
+
+
+class OoniFacebookMessenger(_TagCensoredCrawler):
+    """ref iyp/crawlers/ooni/facebookmessenger.py:15-71: dns × tcp
+    blocking bools → 4-way category; rows missing either key pop."""
+
+    NAME = "ooni.facebookmessenger"
+    DATASET = "facebookmessenger"
+    TAG_LABEL = "OONI Facebook Messenger Test"
+    CATEGORIES = ["unblocked", "dns_blocking", "tcp_blocking", "both_blocked"]
+    RESULT_COLS = ["result"]
+    EXPECTED_PREDS = ["CENSORED"]
+    TK_FIELDS = [
+        T.StructField("facebook_dns_blocking", T.BooleanType()),
+        T.StructField("facebook_tcp_blocking", T.BooleanType()),
+    ]
+
+    def derive_results(self, rows: DataFrame) -> DataFrame:
+        dns = F.col("test_keys.facebook_dns_blocking")
+        tcp = F.col("test_keys.facebook_tcp_blocking")
+        return rows.filter(dns.isNotNull() & tcp.isNotNull()).withColumn(
+            "result",
+            F.when(~dns & ~tcp, F.lit("unblocked"))
+            .when(dns & ~tcp, F.lit("dns_blocking"))
+            .when(~dns & tcp, F.lit("tcp_blocking"))
+            .otherwise(F.lit("both_blocked")),
+        )

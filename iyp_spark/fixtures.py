@@ -1895,7 +1895,10 @@ def gen_ripe_atlas_probes(scale: float = 1.0) -> list[FixtureDoc]:
             p["geometry"] = None
         p["is_anchor"] = rng.random() < 0.1
         p["is_public"] = True
-        p["status"] = {"id": 1, "name": rng.choice(["Connected", "Abandoned"])}
+        sid = rng.choice([0, 1, 2, 2, 2, 3])
+        p["status"] = {"id": sid,
+                       "name": ["Never Connected", "Connected", "Connected",
+                                "Abandoned"][min(sid, 3)]}
         p["tags"] = ([{"slug": "home"}] if rng.random() < 0.5 else [])
         probes.append(p)
     # ~3% duplicated probe records (identical payload, :95-98)
@@ -2173,4 +2176,206 @@ GENERATORS.update({
     "utwente.laces_v6": gen_utwente_laces_v6,
     "peeringdb.fac": gen_peeringdb_fac,
     "google.crux_top1m_country": gen_google_crux,
+})
+
+
+# ---------------------------------------------------------------- ooni wave 2
+
+def gen_ooni_httpinvalidrequestline(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref ooni/httpinvalidrequestline.py:15-65."""
+    name = "ooni.httpinvalidrequestline"
+    rng = _rng(name)
+    records = []
+    for _ in range(int(200 * scale)):
+        rec = _ooni_base(rng)
+        rec["test_keys"] = {"tampering": rng.random() < 0.15}
+        records.append(rec)
+    return _ooni_docs(name, records)
+
+
+def gen_ooni_httpheaderfieldmanipulation(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref ooni/httpheaderfieldmanipulation.py:15-122: sub-fields
+    sometimes missing (.get default False)."""
+    name = "ooni.httpheaderfieldmanipulation"
+    rng = _rng(name)
+    subs = ["total", "request_line_capitalization",
+            "header_name_capitalization", "header_field_value",
+            "header_field_number"]
+    records = []
+    for _ in range(int(200 * scale)):
+        rec = _ooni_base(rng)
+        t = {"total": rng.random() < 0.2}
+        for s in subs[1:]:
+            if rng.random() < 0.9:
+                t[s] = rng.random() < 0.1
+        rec["test_keys"] = {"tampering": t}
+        records.append(rec)
+    return _ooni_docs(name, records)
+
+
+def gen_ooni_riseupvpn(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref ooni/riseupvpn.py:21-35: api_failures list / ca_cert_status."""
+    name = "ooni.riseupvpn"
+    rng = _rng(name)
+    records = []
+    for _ in range(int(150 * scale)):
+        rec = _ooni_base(rng)
+        r = rng.random()
+        rec["test_keys"] = {
+            "api_failures": ([] if r < 0.6
+                             else (["generic_timeout_error"] if r < 0.8
+                                   else None)),
+            "ca_cert_status": rng.random() < 0.85,
+        }
+        records.append(rec)
+    return _ooni_docs(name, records)
+
+
+def _gen_ooni_success(name: str, missing_rate: float,
+                      scale: float) -> list[FixtureDoc]:
+    rng = _rng(name)
+    records = []
+    for _ in range(int(150 * scale)):
+        rec = _ooni_base(rng)
+        if rng.random() < missing_rate:
+            rec["test_keys"] = {"bootstrap": 1}  # no 'success' key
+        else:
+            rec["test_keys"] = {"success": rng.random() < 0.8}
+        records.append(rec)
+    return _ooni_docs(name, records)
+
+
+def gen_ooni_vanillator(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref ooni/vanillator.py — success always present."""
+    return _gen_ooni_success("ooni.vanillator", 0.0, scale)
+
+
+def gen_ooni_torsf(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref ooni/torsf.py:25-27 — ~10% rows miss 'success' and pop."""
+    return _gen_ooni_success("ooni.torsf", 0.1, scale)
+
+
+def gen_ooni_facebookmessenger(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref ooni/facebookmessenger.py:22-32: rows missing dns/tcp pop."""
+    name = "ooni.facebookmessenger"
+    rng = _rng(name)
+    records = []
+    for _ in range(int(150 * scale)):
+        rec = _ooni_base(rng)
+        tk = {}
+        if rng.random() > 0.05:
+            tk["facebook_dns_blocking"] = rng.random() < 0.15
+        if rng.random() > 0.05:
+            tk["facebook_tcp_blocking"] = rng.random() < 0.1
+        rec["test_keys"] = tk or {"noise": 1}
+        records.append(rec)
+    return _ooni_docs(name, records)
+
+
+GENERATORS.update({
+    "ooni.httpinvalidrequestline": gen_ooni_httpinvalidrequestline,
+    "ooni.httpheaderfieldmanipulation": gen_ooni_httpheaderfieldmanipulation,
+    "ooni.riseupvpn": gen_ooni_riseupvpn,
+    "ooni.vanillator": gen_ooni_vanillator,
+    "ooni.torsf": gen_ooni_torsf,
+    "ooni.facebookmessenger": gen_ooni_facebookmessenger,
+})
+
+
+# ---------------------------------------------- atlas measurements / rdns
+
+def gen_ripe_atlas_measurements(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref ripe/atlas_measurements.py:143-266: paginated measurement pages;
+    hostname-or-IP targets, resolved_ips precedence over target_ip,
+    duplicate ids, current_probes referencing atlas_probes fixture ids
+    (incl. abandoned ones that must be excluded)."""
+    name = "ripe.atlas_measurements"
+    rng = _rng(name)
+    n_probes = int(200 * min(scale, 1.0)) or 20
+    probe_ids = [10000 + i for i in range(n_probes)]
+    n = int(120 * min(scale, 1.0)) or 12
+    domains = domain_pool()
+    ms = []
+    for i in range(n):
+        af = rng.choice([4, 6])
+        m = {"id": 5_000_000 + i, "af": af, "type": rng.choice(["ping", "traceroute"])}
+        r = rng.random()
+        if r < 0.55:
+            m["target"] = rng.choice(domains)
+        elif r < 0.75:
+            m["target"] = ("198.51.100.7" if af == 4 else "2001:db8::7")  # IP literal → no hostname
+        else:
+            m["target"] = ""
+        if rng.random() < 0.6:
+            k = rng.randint(1, 3)
+            if af == 6:
+                m["resolved_ips"] = [
+                    f"2001:0db8:{rng.randint(0, 0xffff):04x}::{rng.randint(1, 9)}"
+                    for _ in range(k)]
+            else:
+                m["resolved_ips"] = [
+                    f"203.0.{rng.randint(0, 255)}.{rng.randint(1, 254)}"
+                    for _ in range(k)]
+            if rng.random() < 0.15:
+                m["resolved_ips"].append("")  # blank dropped
+        elif rng.random() < 0.5:
+            m["target_ip"] = ("192.0.2.55" if af == 4
+                              else "2001:0db8:0:0:0:0:0:aa")
+        if rng.random() < 0.7:
+            m["target_asn"] = rng.choice(asn_pool())
+        m["current_probes"] = rng.sample(probe_ids, rng.randint(0, 6))
+        ms.append(m)
+    # ~4% duplicated measurement records
+    for m in rng.sample(ms, max(1, n // 25)):
+        ms.append(dict(m))
+    docs = []
+    for i in range(0, len(ms), 50):
+        page = {"results": ms[i:i + 50]}
+        docs.append(FixtureDoc(f"{name}/{i // 50:06d}", name,
+                               _spans([("text", json.dumps(page, sort_keys=True))]),
+                               {"results": ms[i:i + 50]}))
+    return docs
+
+
+def gen_simulamet_rdns(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref simulamet/rirdata_rdns.py:29-55: dict-or-list jsonl entries;
+    entries without NS rdatasets; empty prefixes/nameservers; duplicate
+    (ns, prefix, ttl, source) rows."""
+    name = "simulamet.rirdata_rdns"
+    rng = _rng(name)
+    n = int(150 * min(scale, 1.0)) or 15
+    prefixes = valid_prefix_pool()
+    docs = []
+    for i in range(n):
+        def entry():
+            rdatasets = {}
+            if rng.random() < 0.85:
+                rdatasets["NS"] = [
+                    f"ns{rng.randint(1, 4)}.{rng.choice(['example.net', 'example.org'])}."
+                    for _ in range(rng.randint(1, 3))
+                ]
+                if rng.random() < 0.1:
+                    rdatasets["NS"].append("")
+            if rng.random() < 0.3:
+                rdatasets["SOA"] = ["soa.example.net."]
+            return {
+                "source": rng.choice(["ripe", "apnic", "arin"]),
+                "prefixes": ([rng.choice(prefixes)
+                              for _ in range(rng.randint(1, 2))]
+                             + ([""] if rng.random() < 0.05 else [])),
+                "rdns": {"ttl": rng.choice([3600, 86400]),
+                         "rdatasets": rdatasets},
+            }
+
+        payload = entry() if rng.random() < 0.7 else [entry(), entry()]
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name,
+                               _spans([("text", json.dumps(payload,
+                                                           sort_keys=True))]),
+                               {"payload": payload}))
+    return docs
+
+
+GENERATORS.update({
+    "ripe.atlas_measurements": gen_ripe_atlas_measurements,
+    "simulamet.rirdata_rdns": gen_simulamet_rdns,
 })

@@ -1139,3 +1139,114 @@ GOLDEN.update({
     "utwente.laces_v6": golden_utwente_laces,
     "google.crux_top1m_country": golden_google_crux,
 })
+
+
+# ---------------------------------------------------------------- ooni wave 2
+
+def golden_ooni_httpinvalidrequestline(docs):
+    return _golden_ooni_tag(docs, "OONI HTTP Invalid Request Line Test",
+                            lambda tk: True)
+
+
+def golden_ooni_httpheaderfieldmanipulation(docs):
+    return _golden_ooni_tag(docs, "OONI HTTP Header Field Manipulation Test",
+                            lambda tk: True)
+
+
+def golden_ooni_riseupvpn(docs):
+    return _golden_ooni_tag(docs, "OONI RiseupVPN Test", lambda tk: True)
+
+
+def golden_ooni_vanillator(docs):
+    return _golden_ooni_tag(docs, "OONI Vanilla Tor Test", lambda tk: True)
+
+
+def golden_ooni_torsf(docs):
+    """ref ooni/torsf.py:25-27: rows without 'success' pop."""
+    return _golden_ooni_tag(docs, "OONI Tor Snowflake Test",
+                            lambda tk: "success" in tk)
+
+
+def golden_ooni_facebookmessenger(docs):
+    """ref ooni/facebookmessenger.py:25-29: rows missing either key pop."""
+    return _golden_ooni_tag(
+        docs, "OONI Facebook Messenger Test",
+        lambda tk: tk.get("facebook_dns_blocking") is not None
+        and tk.get("facebook_tcp_blocking") is not None)
+
+
+GOLDEN.update({
+    "ooni.httpinvalidrequestline": golden_ooni_httpinvalidrequestline,
+    "ooni.httpheaderfieldmanipulation": golden_ooni_httpheaderfieldmanipulation,
+    "ooni.riseupvpn": golden_ooni_riseupvpn,
+    "ooni.vanillator": golden_ooni_vanillator,
+    "ooni.torsf": golden_ooni_torsf,
+    "ooni.facebookmessenger": golden_ooni_facebookmessenger,
+})
+
+
+# ---------------------------------------------- atlas measurements / rdns
+
+def golden_atlas_measurements(docs: list[FixtureDoc],
+                              abandoned: set) -> set[Triple]:
+    """ref ripe/atlas_measurements.py:143-266."""
+    out = set()
+    seen = set()
+    for d in docs:
+        for m in d.record["results"]:
+            mid = m["id"]
+            if not mid or mid in seen:
+                continue
+            seen.add(mid)
+            target = m.get("target") or ""
+            hostname = None
+            if target:
+                try:
+                    _ipaddr.ip_address(target)
+                except ValueError:
+                    hostname = target
+            resolved = m.get("resolved_ips") or m.get("target_ip") or []
+            if not isinstance(resolved, list):
+                resolved = [resolved]
+            resolved = [ip for ip in resolved if ip]
+            if int(m["af"]) == 6:
+                resolved = [_ipaddr.ip_address(ip).compressed
+                            for ip in resolved]
+            if m.get("target_asn"):
+                out.add(_t("AtlasMeasurement", mid, "TARGET", "AS",
+                           m["target_asn"]))
+            if hostname:
+                out.add(_t("AtlasMeasurement", mid, "TARGET", "HostName",
+                           hostname))
+            for ip in resolved:
+                out.add(_t("AtlasMeasurement", mid, "TARGET", "IP", ip))
+            for prb in m.get("current_probes") or []:
+                if prb in abandoned:
+                    continue
+                out.add(_t("AtlasProbe", prb, "PART_OF", "AtlasMeasurement",
+                           mid))
+    return out
+
+
+def golden_simulamet_rdns(docs: list[FixtureDoc]) -> set[Triple]:
+    """ref simulamet/rirdata_rdns.py:29-163."""
+    out = set()
+    for d in docs:
+        payload = d.record["payload"]
+        entries = payload if isinstance(payload, list) else [payload]
+        for e in entries:
+            if "NS" not in e["rdns"]["rdatasets"]:
+                continue
+            for pfx in e["prefixes"]:
+                if not pfx:
+                    continue
+                prefix = _ipaddr.ip_network(pfx).compressed
+                for ns in e["rdns"]["rdatasets"]["NS"]:
+                    if not ns:
+                        continue
+                    out.add(_t("RDNSPrefix", prefix, "MANAGED_BY",
+                               "HostName", ns[:-1] if ns.endswith(".") else ns))
+    return out
+
+
+GOLDEN["simulamet.rirdata_rdns"] = golden_simulamet_rdns

@@ -87,6 +87,15 @@ def golden_for(name: str) -> set:
             for d in GENERATORS["peeringdb.org"](SCALE)
         }
         return golden_peeringdb_ix(docs, org_map)
+    if name == "ripe.atlas_measurements":
+        from iyp_spark.golden import golden_atlas_measurements
+
+        abandoned = set()
+        for d in GENERATORS["ripe.atlas_probes"](SCALE):
+            for p in d.record["results"]:
+                if p["status"]["id"] in (0, 3):
+                    abandoned.add(p["id"])
+        return golden_atlas_measurements(docs, abandoned)
     if name == "peeringdb.fac":
         from iyp_spark.golden import golden_peeringdb_fac
 
