@@ -49,6 +49,7 @@ from .peeringdb_fac import PeeringdbFac
 from .google_crux import GoogleCruxCountry
 from .ripe_atlas_measurements import RipeAtlasMeasurements
 from .simulamet_rdns import SimulametRirdataRdns
+from .openintel_dnsgraph import OpenIntelDnsgraph
 
 CRAWLER_ORDER = [
     PfxToAsn,
@@ -90,6 +91,7 @@ CRAWLER_ORDER = [
     OpenIntelUmbrella1M,
     GoogleCruxCountry,
     SimulametRirdataRdns,
+    OpenIntelDnsgraph,
     OoniWebConnectivity,
     OoniTelegram,
     OoniWhatsApp,

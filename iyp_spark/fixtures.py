@@ -2379,3 +2379,68 @@ GENERATORS.update({
     "ripe.atlas_measurements": gen_ripe_atlas_measurements,
     "simulamet.rirdata_rdns": gen_simulamet_rdns,
 })
+
+
+# ---------------------------------------------------------------- dnsgraph
+
+def gen_openintel_dnsgraph(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref openintel/__init__.py:452-672: typed edge lines. Includes CNAME
+    chains of depth 1-3, a deliberate ALIAS_OF 2-cycle, trailing-dot keys,
+    non-compressed IPv6 targets, duplicate rows, and same-edge rows with
+    different props (all kept)."""
+    name = "openintel.dnsgraph"
+    rng = _rng(name)
+    n_dom = max(6, int(25 * min(scale, 1.0)))
+    domains = [f"dg{i}.example" for i in range(n_dom)]
+    edges = []
+
+    def e(rel, ft, fk, tt, tk, props=None):
+        edges.append({"from_nodeType": ft, "from_nodeKey": fk,
+                      "to_nodeType": tt, "to_nodeKey": tk,
+                      "relation_name": rel, "properties": props or {}})
+
+    for i, dom in enumerate(domains):
+        dotted = dom + "." if rng.random() < 0.5 else dom
+        e("PARENT", "DOMAIN", "example.", "DOMAIN", dotted)
+        n_hosts = rng.randint(1, 3)
+        hosts = [f"h{j}.{dom}" for j in range(n_hosts)]
+        for h in hosts:
+            e("PART_OF", "HOSTNAME", h + ".", "DOMAIN", dotted)
+        ns = f"ns1.dg{(i + 1) % n_dom}.example"
+        e("MANAGED_BY", "DOMAIN", dotted, "HOSTNAME", ns,
+          {"ttl": str(rng.choice([300, 3600]))})
+        # resolving host
+        tail = hosts[0]
+        if rng.random() < 0.5:
+            ip = f"203.0.{rng.randint(0, 255)}.{rng.randint(1, 254)}"
+        else:
+            ip = f"2001:0db8:{rng.randint(0, 0xffff):04x}:0000::{rng.randint(1, 9)}"
+        e("RESOLVES_TO", "HOSTNAME", tail, "IP", ip)
+        if rng.random() < 0.3:  # same edge, different props → two links
+            e("RESOLVES_TO", "HOSTNAME", tail, "IP", ip, {"rtt": "12"})
+        # CNAME chain pointing at the resolving host
+        depth = rng.randint(0, 3)
+        prev = tail
+        for d in range(depth):
+            alias = f"cn{d}.{dom}"
+            e("ALIAS_OF", "HOSTNAME", alias, "HOSTNAME", prev)
+            prev = alias
+        if rng.random() < 0.1 and depth >= 1:
+            # alias loop: tail is alias of the last cname → cycle
+            e("ALIAS_OF", "HOSTNAME", tail, "HOSTNAME", prev)
+        if rng.random() < 0.15:
+            # dangling cname chain that never resolves
+            e("ALIAS_OF", "HOSTNAME", f"dead.{dom}", "HOSTNAME",
+              f"gone.{dom}")
+    # exact duplicate rows
+    for ed in rng.sample(edges, max(1, len(edges) // 20)):
+        edges.append(dict(ed))
+    docs = []
+    for i, ed in enumerate(edges):
+        docs.append(FixtureDoc(f"{name}/{i:06d}", name,
+                               _spans([("text", json.dumps(ed, sort_keys=True))]),
+                               ed))
+    return docs
+
+
+GENERATORS["openintel.dnsgraph"] = gen_openintel_dnsgraph

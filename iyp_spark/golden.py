@@ -1250,3 +1250,60 @@ def golden_simulamet_rdns(docs: list[FixtureDoc]) -> set[Triple]:
 
 
 GOLDEN["simulamet.rirdata_rdns"] = golden_simulamet_rdns
+
+
+# ---------------------------------------------------------------- dnsgraph
+
+def golden_openintel_dnsgraph(docs: list[FixtureDoc]) -> set[Triple]:
+    """ref openintel/__init__.py:452-672 — straight-line mirror of the
+    edge typing, key normalization, and recurse_cnames walk."""
+    LABEL = {"DOMAIN": "DomainName", "HOSTNAME": "HostName", "IP": "IP"}
+
+    def norm(nt, key):
+        if nt in ("DOMAIN", "HOSTNAME"):
+            return key if key == "." else key.rstrip(".")
+        if nt == "IP":
+            return _ipaddr.ip_address(key).compressed
+        return key
+
+    rows = []
+    for d in docs:
+        r = d.record
+        rows.append((r["relation_name"], r["from_nodeType"],
+                     norm(r["from_nodeType"], r["from_nodeKey"]),
+                     r["to_nodeType"], norm(r["to_nodeType"], r["to_nodeKey"])))
+    out = set()
+    shapes = {("PARENT", "DOMAIN", "DOMAIN"),
+              ("PART_OF", "HOSTNAME", "DOMAIN"),
+              ("ALIAS_OF", "HOSTNAME", "HOSTNAME"),
+              ("MANAGED_BY", "DOMAIN", "HOSTNAME"),
+              ("RESOLVES_TO", "HOSTNAME", "IP")}
+    cnames = {}
+    resolves = {}
+    for rel, ft, src, tt, dst in rows:
+        if (rel, ft, tt) not in shapes:
+            continue
+        out.add(_t(LABEL[ft], src, rel, LABEL[tt], dst))
+        if rel == "ALIAS_OF":
+            cnames.setdefault(dst, set()).add(src)
+        if rel == "RESOLVES_TO":
+            resolves.setdefault(src, set()).add(dst)
+
+    def recurse(source, ips, state, processed):
+        for alias in cnames.get(source, ()):
+            if alias in processed:
+                continue
+            processed.add(alias)
+            state.setdefault(alias, set()).update(ips)
+            recurse(alias, ips, state, processed)
+
+    cname_resolves: dict = {}
+    for nm, ips in resolves.items():
+        recurse(nm, ips, cname_resolves, {nm})
+    for host, ips in cname_resolves.items():
+        for ip in ips:
+            out.add(_t("HostName", host, "RESOLVES_TO", "IP", ip))
+    return out
+
+
+GOLDEN["openintel.dnsgraph"] = golden_openintel_dnsgraph
