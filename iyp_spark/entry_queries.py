@@ -793,3 +793,166 @@ def top10_quality_docs(spark, sf_dir):
         .orderBy(F.desc("quality"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# =====================================================================
+# Round 2 patterns: percentage-with-backfill (OONI A1), latest-snapshot
+# ranking (ihr.country_dependency A6+W1), tightest-interval match (the
+# LPM / search_best shape as a SQL-checkable range join).
+# =====================================================================
+@q("order_status_percentages", """
+SELECT n_name,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS count_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS count_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS count_p,
+       FLOOR(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 100.0
+             / COUNT(*) * 10000) / 10000 AS percentage_f,
+       FLOOR(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) * 100.0
+             / COUNT(*) * 10000) / 10000 AS percentage_o,
+       FLOOR(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) * 100.0
+             / COUNT(*) * 10000) / 10000 AS percentage_p,
+       COUNT(*) AS total_count
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def order_status_percentages(spark, sf_dir):
+    """OONI percentage_agg shape (ooni/__init__.py:156-185): one
+    conditional-sum column per STATIC category — absent categories
+    backfill to 0 for free — and percentages of the group total, single
+    map-side-combinable shuffle."""
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    g = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+    )
+    aggs = []
+    for cat in ["F", "O", "P"]:
+        aggs.append(
+            F.sum((F.col("o_orderstatus") == cat).cast("long"))
+            .alias(f"count_{cat.lower()}")
+        )
+    agg = g.agg(*aggs, F.count(F.lit(1)).alias("total_count"))
+    for cat in ["f", "o", "p"]:
+        agg = agg.withColumn(
+            f"percentage_{cat}",
+            F.floor(F.col(f"count_{cat}") * 100.0 / F.col("total_count")
+                    * 10000) / 10000,
+        )
+    return agg.select("n_name", "count_f", "count_o", "count_p",
+                      "percentage_f", "percentage_o", "percentage_p",
+                      "total_count")
+
+
+@q("latest_order_rank", """
+SELECT n_name, rnk, c_custkey,
+       CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS latest_price
+FROM (
+  SELECT n_name, c_custkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY n_name
+                            ORDER BY CAST(o_totalprice AS DECIMAL(18,4)) DESC,
+                                     c_custkey ASC) AS rnk
+  FROM (
+    SELECT n_name, c_custkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY c_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS r
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+  ) WHERE r = 1
+) WHERE rnk <= 3
+""")
+def latest_order_rank(spark, sf_dir):
+    """ihr.country_dependency shape (:61-101): latest snapshot per entity
+    (A6 window) then rank within the group (W1 window) with a threshold."""
+    from pyspark.sql.window import Window as W
+
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_custkey", "o_totalprice", "o_orderdate",
+                "o_orderkey")
+    )
+    latest = (
+        j.withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy("c_custkey")
+                .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+            ),
+        )
+        .filter(F.col("r") == 1)
+    )
+    ranked = latest.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("n_name")
+            .orderBy(_money(F.col("o_totalprice")).desc(),
+                     F.col("c_custkey").asc())
+        ),
+    ).filter(F.col("rnk") <= 3)
+    return ranked.select(
+        "n_name", "rnk", "c_custkey",
+        F.round(_money(F.col("o_totalprice")), 2).cast("double")
+        .alias("latest_price"),
+    )
+
+
+@q("price_band_lpm", """
+WITH bands AS (
+  SELECT DISTINCT p_size AS band,
+         p_size * 4000.0 AS lo,
+         p_size * 4000.0 + 40000.0 + p_size * 700.0 AS hi
+  FROM part
+)
+SELECT band,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS band_revenue
+FROM (
+  SELECT o_orderkey, o_totalprice, band,
+         ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                            ORDER BY hi - lo ASC, band ASC) AS r
+  FROM orders JOIN bands
+    ON CAST(o_totalprice AS DECIMAL(18,4)) >= lo
+   AND CAST(o_totalprice AS DECIMAL(18,4)) < hi
+) WHERE r = 1
+GROUP BY band ORDER BY band
+""")
+def price_band_lpm(spark, sf_dir):
+    """The LPM / search_best shape (post/ip2prefix.py, alice_lg): probe ×
+    overlapping-interval dimension, candidates via broadcast range join,
+    most-specific (narrowest) interval by window — then a rollup."""
+    from pyspark.sql.window import Window as W
+
+    o = tbl(spark, sf_dir, "orders")
+    p = tbl(spark, sf_dir, "part")
+    bands = (
+        p.select(F.col("p_size").alias("band")).distinct()
+        .withColumn("lo", F.col("band") * 4000.0)
+        .withColumn("hi", F.col("band") * 4000.0 + 40000.0
+                    + F.col("band") * 700.0)
+    )
+    price = _money(F.col("o_totalprice"))
+    cand = o.select("o_orderkey", "o_totalprice").join(
+        F.broadcast(bands), (price >= F.col("lo")) & (price < F.col("hi"))
+    )
+    best = cand.withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("o_orderkey")
+            .orderBy((F.col("hi") - F.col("lo")).asc(), F.col("band").asc())
+        ),
+    ).filter(F.col("r") == 1)
+    return (
+        best.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum(_money(F.col("o_totalprice"))), 2).cast("double")
+             .alias("band_revenue"))
+        .orderBy("band")
+    )
