@@ -146,3 +146,100 @@ class GraphQueries:
         return visited.join(nodes, visited.node == nodes.node_id).select(
             "label", "key", "hops"
         )
+
+    # --- gallery.md:115-130: allShortestPaths enumeration ---------------
+    def all_shortest_paths(self, preds: list[str], start_label: str,
+                           start_key: str, max_hops: int = 4,
+                           undirected: bool = True,
+                           node_ids: DataFrame | None = None) -> DataFrame:
+        """Enumerate ALL shortest paths from a start node — the Cypher
+        ``allShortestPaths((a)-[:PEERS_WITH*]-(d))`` of gallery.md:121-130,
+        where ``bfs`` gives only the distance.
+
+        Level-synchronous BFS carrying the node-id path: at hop h the
+        admissible targets are exactly the nodes NOT seen at any earlier
+        level, so every surviving (path, node) pair is a shortest path to
+        that node; multiple same-length paths to one node all survive.
+        ``node_ids`` (one ``id`` column) optionally restricts intermediate
+        AND terminal nodes — the gallery's ``all(n IN nodes(p) WHERE n IN
+        dependencies)`` becomes a semi-join on the edge endpoints.
+
+        Returns (label, key, hops, path) with path an ordered array of
+        (label, key) structs including both endpoints. Paths can be
+        combinatorial; bound with max_hops and node_ids like the
+        reference query does.
+        """
+        edges = self.t.filter(F.col("pred").isin(preds)).select(
+            F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+        )
+        if undirected:
+            edges = edges.unionByName(
+                edges.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"))
+            )
+        if node_ids is not None:
+            allowed = node_ids.select(F.col("id")).distinct()
+            edges = (
+                edges.join(allowed.withColumnRenamed("id", "src"), "src",
+                           "left_semi")
+                .join(allowed.withColumnRenamed("id", "dst"), "dst",
+                      "left_semi")
+            )
+        edges = edges.distinct().localCheckpoint(eager=True)
+
+        start_id = F.xxhash64(F.lit(start_label), F.lit(start_key))
+        frontier = (
+            self.t.select(start_id.alias("node")).limit(1)
+            .withColumn("path", F.array(F.col("node")))
+            .withColumn("hops", F.lit(0))
+        ).localCheckpoint(eager=True)
+        visited = frontier.select("node")
+        acc = frontier
+        for hop in range(1, max_hops + 1):
+            expanded = (
+                frontier.join(edges, frontier.node == edges.src)
+                .select(F.col("dst").alias("node"),
+                        F.concat("path", F.array(F.col("dst"))).alias("path"))
+            )
+            nxt = (
+                expanded.join(
+                    visited.withColumnRenamed("node", "v"),
+                    F.col("node") == F.col("v"), "left_anti",
+                )
+                .withColumn("hops", F.lit(hop))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            visited = (
+                visited.unionByName(nxt.select("node").distinct())
+                .distinct().localCheckpoint(eager=True)
+            )
+            acc = acc.unionByName(nxt)
+            frontier = nxt
+        # resolve node ids → (label, key), preserving path order
+        nodes = self.store.read_nodes().select("node_id", "label", "key")
+        pathed = (
+            acc.withColumn("_pid", F.monotonically_increasing_id())
+            .select("node", "hops", "_pid",
+                    F.posexplode("path").alias("pos", "step"))
+            .join(nodes, F.col("step") == nodes.node_id)
+            .groupBy("node", "hops", "_pid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "label", "key"))
+                ).alias("steps")
+            )
+            .withColumn(
+                "path",
+                F.transform("steps", lambda s: F.struct(
+                    s["label"].alias("label"), s["key"].alias("key"))),
+            )
+        )
+        end = nodes.withColumnRenamed("label", "end_label").withColumnRenamed(
+            "key", "end_key")
+        return (
+            pathed.join(end, pathed.node == end.node_id)
+            .select(F.col("end_label").alias("label"),
+                    F.col("end_key").alias("key"), "hops", "path")
+        )

@@ -129,3 +129,61 @@ def test_canonical_id_mapping_from_siblings(spark):
         assert comp[800] == comp[900] == 800
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_all_shortest_paths_enumeration(spark):
+    """Synthetic diamond: two same-length paths must BOTH survive; longer
+    paths to already-reached nodes must not (gallery.md:121-130)."""
+    import tempfile as tf
+
+    from iyp_spark.framework import SparkCrawler
+    from iyp_spark.store import GraphStore
+
+    root = tf.mkdtemp(prefix="iyp_asp_")
+    st = GraphStore(spark, root)
+
+    class _Synth(SparkCrawler):
+        NAME = "synth.asp"
+        ORG = "t"
+        URL = "t"
+
+        def transform(self, docs):
+            # a-b, a-c, b-d, c-d (diamond), d-e; plus a-x dead end
+            pairs = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+                     ("d", "e"), ("a", "x")]
+            df = self.spark.createDataFrame(pairs, "s string, o string")
+            nodes = [self.make_nodes(df, "AS", "s"),
+                     self.make_nodes(df, "AS", "o")]
+            triples = [self.make_triples(df, "PEERS_WITH", "AS", "s",
+                                         "AS", "o")]
+            return nodes, triples
+
+    c = _Synth(st)
+    node_dfs, triple_dfs = c.transform(None)  # no document scan needed
+    for nd in node_dfs:
+        st.upsert_nodes(nd)
+    st.replace_triples(c.NAME, triple_dfs[0])
+    q = GraphQueries(st)
+    res = q.all_shortest_paths(["PEERS_WITH"], "AS", "a", max_hops=3)
+    rows = res.collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append(
+            [p["key"] for p in r["path"]])
+    # two shortest paths to d (via b and via c), both length 2
+    assert sorted(by_key["d"]) == [["a", "b", "d"], ["a", "c", "d"]]
+    # e at 3 hops, two paths through the diamond
+    assert sorted(by_key["e"]) == [["a", "b", "d", "e"], ["a", "c", "d", "e"]]
+    # direct neighbors single paths
+    assert by_key["b"] == [["a", "b"]]
+    assert by_key["x"] == [["a", "x"]]
+
+    # node-set restriction: exclude c → only the b-side path remains
+    allowed = spark.createDataFrame(
+        [(k,) for k in ["a", "b", "d", "e", "x"]], "key string"
+    ).select(F.xxhash64(F.lit("AS"), F.col("key")).alias("id"))
+    res2 = q.all_shortest_paths(["PEERS_WITH"], "AS", "a", max_hops=3,
+                                node_ids=allowed)
+    paths_d = [[p["key"] for p in r["path"]]
+               for r in res2.collect() if r["key"] == "d"]
+    assert paths_d == [["a", "b", "d"]]
