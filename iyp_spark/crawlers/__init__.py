@@ -27,7 +27,7 @@ from .iana_root_zone import IanaRootZone
 from .ripe_roa import RipeRoa
 from .ooni import (OoniFacebookMessenger, OoniHttpHeaderFieldManipulation,
                    OoniHttpInvalidRequestLine, OoniPsiphon, OoniRiseupVpn,
-                   OoniSignal, OoniTelegram, OoniTor, OoniTorsf,
+                   OoniSignal, OoniStunReachability, OoniTelegram, OoniTor, OoniTorsf,
                    OoniVanillaTor, OoniWebConnectivity, OoniWhatsApp)
 from .caida_ixs import CaidaIxAsns, CaidaIxs
 from .geolite import IpinfoIpCountry, MaxmindGeoliteCountry
@@ -104,6 +104,7 @@ CRAWLER_ORDER = [
     OoniVanillaTor,
     OoniTorsf,
     OoniFacebookMessenger,
+    OoniStunReachability,
     # second wave (NEEDS_EXISTING): read dictionaries/edges from the first
     CiscoUmbrella,  # prefers existing DomainName/HostName nodes
     PeeringdbIx,    # resolves orgs through PeeringdbOrgID EXTERNAL_ID edges

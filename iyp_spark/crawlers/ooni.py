@@ -593,3 +593,92 @@ class OoniFacebookMessenger(_TagCensoredCrawler):
             .when(~dns & tcp, F.lit("tcp_blocking"))
             .otherwise(F.lit("both_blocked")),
         )
+
+
+class OoniStunReachability(OoniCrawler):
+    """ref iyp/crawlers/ooni/stunreachability.py:15-115: per-(asn, country,
+    stun_url) CENSORED percentages against the URL node; DNS answers for
+    hostname endpoints → RESOLVES_TO. Hostname-vs-IP endpoint split uses
+    the PSL fqdn (tldextract semantics) via the broadcast suffix joins."""
+
+    NAME = "ooni.stunreachability"
+    DATASET = "stunreachability"
+    CATEGORIES = ["ok", "failure"]
+    EXPECTED_PREDS = ["CENSORED", "RESOLVES_TO"]
+    TK_FIELDS = [
+        T.StructField("failure", T.StringType()),
+        T.StructField("queries", T.ArrayType(T.StructType([
+            T.StructField("query_type", T.StringType()),
+            T.StructField("hostname", T.StringType()),
+            T.StructField("failure", T.StringType()),
+            T.StructField("answers", T.ArrayType(T.StructType([
+                T.StructField("answer_type", T.StringType()),
+                T.StructField("ipv4", T.StringType()),
+                T.StructField("ipv6", T.StringType()),
+            ]))),
+        ]))),
+    ]
+
+    def transform(self, docs: DataFrame):
+        from ..psl import with_registered_domain
+
+        raw = self.base_parse(docs)
+        valid = (
+            self.result_rows(raw)
+            # missing input → the test fails and the row pops (:28-31)
+            .filter(F.col("input").isNotNull() & (F.col("input") != ""))
+            .withColumn(
+                "endpoint",
+                F.try_element_at(F.split(F.col("input"), "//"), F.lit(-1)),
+            )
+            .withColumn("host_part", F.split(F.col("endpoint"), ":")[0])
+            .withColumn("host_ip", compress_ip(F.col("host_part")))
+        )
+        valid = with_registered_domain(valid, "host_part")
+        mentions = self.m(
+            valid.withColumn(
+                # tldextract .fqdn: only when a registered domain exists
+                "stun_hostname",
+                F.when(F.col("host_ip").isNull()
+                       & F.col("registered_domain").isNotNull(),
+                       F.lower(F.col("host_part"))),
+            ).withColumn(
+                "result",
+                F.when(F.col("test_keys.failure").isNull(), F.lit("ok"))
+                .otherwise(F.lit("failure")),
+            )
+        )
+        # process_dns_queries scoped to the stun hostname (:49-56)
+        q = (
+            mentions.filter(F.col("stun_hostname").isNotNull())
+            .select("stun_hostname",
+                    F.explode("test_keys.queries").alias("q"))
+            .filter(F.col("q.query_type").isin("A", "AAAA")
+                    & (F.col("q.failure").isNull() | (F.col("q.failure") == "")))
+            .filter(F.col("q.hostname") == F.col("stun_hostname"))
+            .select("stun_hostname", F.explode("q.answers").alias("a"))
+            .withColumn(
+                "ip",
+                compress_global_ip(
+                    F.when(F.col("a.answer_type") == "A", F.col("a.ipv4"))
+                    .when(F.col("a.answer_type") == "AAAA", F.col("a.ipv6"))
+                ),
+            )
+            .filter(F.col("ip").isNotNull())
+            .dropDuplicates(["stun_hostname", "ip"])
+        )
+        censored = percentage_agg(
+            mentions, ["asn", "cc", "input"], ["result"], self.CATEGORIES
+        )
+        nodes = self.base_nodes(raw, self.result_rows(raw)) + [
+            self.make_nodes(mentions, "URL", "input"),
+            self.make_nodes(q, "HostName", "stun_hostname"),
+            self.make_nodes(q, "IP", "ip"),
+        ]
+        triples = self.country_triples(mentions) + [
+            self.make_triples(censored, "CENSORED", "AS", "asn",
+                              "URL", "input", props_col=F.col("link_props")),
+            self.make_triples(q, "RESOLVES_TO", "HostName", "stun_hostname",
+                              "IP", "ip"),
+        ]
+        return nodes, triples

@@ -2444,3 +2444,56 @@ def gen_openintel_dnsgraph(scale: float = 1.0) -> list[FixtureDoc]:
 
 
 GENERATORS["openintel.dnsgraph"] = gen_openintel_dnsgraph
+
+
+def gen_ooni_stunreachability(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref ooni/stunreachability.py:24-66: stun:// URLs with hostname,
+    hostname:port, IP-literal, and co.uk-suffix endpoints; matching and
+    mismatching DNS query hostnames; missing inputs (popped)."""
+    name = "ooni.stunreachability"
+    rng = _rng(name)
+    hosts = [f"stun{i}.{d}" for i, d in enumerate(domain_pool()[:40])]
+    hosts += [f"stun.media{i}.co.uk" for i in range(4)]  # PSL 3-label
+    records = []
+    for i in range(int(200 * scale)):
+        rec = _ooni_base(rng)
+        r = rng.random()
+        if r < 0.04:
+            pass  # no input → popped
+        elif r < 0.15:
+            ip = f"198.51.100.{rng.randint(1, 254)}"
+            rec["input"] = f"stun://{ip}:{rng.choice([3478, 19302])}"
+        else:
+            host = rng.choice(hosts)
+            port = f":{rng.choice([3478, 19302])}" if rng.random() < 0.7 else ""
+            rec["input"] = f"stun://{host}{port}"
+        tk = {"failure": (None if rng.random() < 0.75
+                          else "generic_timeout_error")}
+        queries = []
+        if "input" in rec and "//" in rec.get("input", "") and rng.random() < 0.7:
+            endpoint_host = rec["input"].split("//")[-1].split(":")[0]
+            qhost = (endpoint_host if rng.random() < 0.85
+                     else f"cdn.{endpoint_host}")  # mismatch → warn-skip
+            answers = []
+            for _ in range(rng.randint(1, 3)):
+                if rng.random() < 0.6:
+                    answers.append({"answer_type": "A",
+                                    "ipv4": f"203.0.{rng.randint(0, 255)}.{rng.randint(1, 254)}"})
+                else:
+                    answers.append({"answer_type": "AAAA",
+                                    "ipv6": f"2606:2800:{rng.randint(1, 0xffff):x}::1"})
+            if rng.random() < 0.1:
+                answers.append({"answer_type": "A", "ipv4": "10.1.2.3"})  # non-global
+            queries.append({
+                "query_type": rng.choice(["A", "AAAA"]),
+                "hostname": qhost,
+                "failure": None if rng.random() < 0.9 else "dns_nxdomain_error",
+                "answers": answers,
+            })
+        tk["queries"] = queries
+        rec["test_keys"] = tk
+        records.append(rec)
+    return _ooni_docs(name, records)
+
+
+GENERATORS["ooni.stunreachability"] = gen_ooni_stunreachability

@@ -1307,3 +1307,48 @@ def golden_openintel_dnsgraph(docs: list[FixtureDoc]) -> set[Triple]:
 
 
 GOLDEN["openintel.dnsgraph"] = golden_openintel_dnsgraph
+
+
+def golden_ooni_stunreachability(docs: list[FixtureDoc]) -> set[Triple]:
+    """ref ooni/stunreachability.py:24-115."""
+    from .psl import py_fqdn
+
+    rows, _ = _ooni_base_parse(docs)
+    out = set()
+    for o, asn, cc in rows:
+        url = o.get("input")
+        if not url:
+            continue
+        out.add(_t("AS", asn, "CENSORED", "URL", url))
+        endpoint = url.split("//")[-1]
+        host = endpoint.split(":")[0]
+        try:
+            ipaddress.ip_address(host)
+            continue  # IP endpoint → no hostname
+        except ValueError:
+            pass
+        hostname = py_fqdn(host)
+        if not hostname:
+            continue
+        for q in o["test_keys"].get("queries") or []:
+            if q["query_type"] not in ("A", "AAAA") or q.get("failure"):
+                continue
+            if q["hostname"] != hostname:
+                continue
+            for a in q.get("answers") or []:
+                ipf = a.get("ipv4") if a.get("answer_type") == "A" else (
+                    a.get("ipv6") if a.get("answer_type") == "AAAA" else None)
+                if not ipf:
+                    continue
+                try:
+                    ip = ipaddress.ip_address(ipf)
+                except ValueError:
+                    continue
+                if not ip.is_global:
+                    continue
+                out.add(_t("HostName", hostname, "RESOLVES_TO", "IP",
+                           ip.compressed))
+    return out
+
+
+GOLDEN["ooni.stunreachability"] = golden_ooni_stunreachability
