@@ -31,7 +31,7 @@ from .ooni import (OoniFacebookMessenger, OoniHttpHeaderFieldManipulation,
                    OoniVanillaTor, OoniWebConnectivity, OoniWhatsApp)
 from .caida_ixs import CaidaIxAsns, CaidaIxs
 from .geolite import IpinfoIpCountry, MaxmindGeoliteCountry
-from .alice_lg import AliceLgDecix
+from .alice_lg import AliceLgAmsix, AliceLgDecix, AliceLgLinx
 from .ihr_country_dependency import IhrCountryDependency
 from .ihr_rov import IhrRov
 from .flat_linkers import (BgpToolsAsNames, CitizenLabUrldb,
@@ -118,6 +118,8 @@ CRAWLER_ORDER = [
     # fourth wave: reads CaidaIXID edges written by caida.ixs
     CaidaIxAsns,
     AliceLgDecix,  # LPMs member IPs against wave-2/3 PeeringLANs
+    AliceLgAmsix,
+    AliceLgLinx,
     CloudflareDnsTopAses,    # seed scan over RANK edges incl. umbrella's
     CloudflareDnsTopLocations,
 ]

@@ -195,3 +195,17 @@ class AliceLgDecix(SparkCrawler):
                               props_col=F.col("flat_route")),
         ]
         return nodes, triples
+
+
+class AliceLgAmsix(AliceLgDecix):
+    """ref iyp/crawlers/alice_lg/amsix.py — config shell over the base."""
+
+    URL = "https://lg.ams-ix.net/api/v1"
+    NAME = "alice_lg.amsix"
+
+
+class AliceLgLinx(AliceLgDecix):
+    """ref iyp/crawlers/alice_lg/linx.py."""
+
+    URL = "https://alice-rs.linx.net/api/v1"
+    NAME = "alice_lg.linx"

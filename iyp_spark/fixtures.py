@@ -1408,14 +1408,16 @@ def alice_lan_map(scale: float) -> dict[str, str]:
     return {lan: min(ixps) for lan, ixps in lans.items()}
 
 
-def gen_alice_lg(scale: float = 1.0) -> list[FixtureDoc]:
+def gen_alice_lg(scale: float = 1.0,
+                 name: str = "alice_lg.decix") -> list[FixtureDoc]:
     """ref iyp/crawlers/alice_lg/__init__.py: one doc per neighbors page
     (with RFC3339-nano cached_at variants and the neighbors/neighbours
     spelling split, :245-251) and per routes page. ~15% member IPs outside
-    every PeeringLAN (search_best miss, :370-372); ~8% malformed ASNs."""
+    every PeeringLAN (search_best miss, :370-372); ~8% malformed ASNs.
+    Parameterized by instance name — each looking glass (decix, amsix,
+    linx, ... 14 in the reference) is the same program over its own
+    fetched pages."""
     import ipaddress as _ip
-
-    name = "alice_lg.decix"
     rng = _rng(name)
     lan_map = alice_lan_map(scale)
     lans = sorted(lan_map)
@@ -1497,6 +1499,18 @@ def gen_alice_lg(scale: float = 1.0) -> list[FixtureDoc]:
 
 
 GENERATORS["alice_lg.decix"] = gen_alice_lg
+
+
+def gen_alice_lg_amsix(scale: float = 1.0) -> list[FixtureDoc]:
+    return gen_alice_lg(scale, name="alice_lg.amsix")
+
+
+def gen_alice_lg_linx(scale: float = 1.0) -> list[FixtureDoc]:
+    return gen_alice_lg(scale, name="alice_lg.linx")
+
+
+GENERATORS["alice_lg.amsix"] = gen_alice_lg_amsix
+GENERATORS["alice_lg.linx"] = gen_alice_lg_linx
 
 
 # ---------------------------------------------------------------- ihr

@@ -117,7 +117,7 @@ def golden_for(name: str) -> set:
         return golden_cloudflare_dns_top(
             docs, eligible, "ases" if name.endswith("ases") else "locations"
         )
-    if name == "alice_lg.decix":
+    if name.startswith("alice_lg."):
         from iyp_spark.fixtures import alice_lan_map
         from iyp_spark.golden import golden_alice_lg
 
