@@ -19,7 +19,8 @@ from .peeringdb_org import PeeringdbOrg
 from .peeringdb_ix import PeeringdbIx
 from .caida_as2org import CaidaAs2Org
 from .nro_delegated import NroDelegatedStats
-from .openintel import OpenIntel, OpenIntelInfraNs, OpenIntelUmbrella1M
+from .openintel import (OpenIntel, OpenIntelCrux, OpenIntelInfraMx,
+                        OpenIntelInfraNs, OpenIntelToplist, OpenIntelUmbrella1M)
 from .inetintel_as_org import InetIntelAsOrg
 from .pch_routing import PchRoutingV4
 from .worldbank_pop import WorldBankCountryPop
@@ -49,15 +50,19 @@ from .peeringdb_fac import PeeringdbFac
 from .google_crux import GoogleCruxCountry
 from .ripe_atlas_measurements import RipeAtlasMeasurements
 from .simulamet_rdns import SimulametRirdataRdns
-from .openintel_dnsgraph import OpenIntelDnsgraph
+from .openintel_dnsgraph import (OpenIntelDnsgraph, OpenIntelDnsgraphCrux,
+                                 OpenIntelDnsgraphJp, OpenIntelDnsgraphNl,
+                                 OpenIntelDnsgraphRdns)
 
 CRAWLER_ORDER = [
     PfxToAsn,
     RipeAsNames,
     CaidaAsRank,
     BgpkitAs2RelV4,
+    BgpkitAs2RelV6,
     TrancoTop1M,
     IhrHegemonyV4,
+    IhrHegemonyV6,
     BgpToolsTags,
     StanfordAsdb,
     ApnicEyeball,
@@ -89,9 +94,16 @@ CRAWLER_ORDER = [
     UtwenteLacesV6,
     OpenIntelInfraNs,
     OpenIntelUmbrella1M,
+    OpenIntelInfraMx,
+    OpenIntelCrux,
+    OpenIntelToplist,
     GoogleCruxCountry,
     SimulametRirdataRdns,
     OpenIntelDnsgraph,
+    OpenIntelDnsgraphCrux,
+    OpenIntelDnsgraphJp,
+    OpenIntelDnsgraphNl,
+    OpenIntelDnsgraphRdns,
     OoniWebConnectivity,
     OoniTelegram,
     OoniWhatsApp,

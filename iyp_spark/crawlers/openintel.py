@@ -182,3 +182,27 @@ class OpenIntelUmbrella1M(OpenIntel):
 
     URL = "https://data.openintel.nl/data/umbrella1m"
     NAME = "openintel.umbrella1m"
+
+
+class OpenIntelInfraMx(OpenIntel):
+    """openintel.infra_mx (ref openintel/infra_mx.py)."""
+
+    URL = "https://data.openintel.nl"
+    NAME = "openintel.infra_mx"
+
+
+class OpenIntelCrux(OpenIntel):
+    """openintel.crux — per-country CrUX toplist measurement
+    (ref openintel/crux.py; the country enumeration is fetch-side)."""
+
+    URL = "https://data.openintel.nl"
+    NAME = "openintel.crux"
+
+
+class OpenIntelToplist(OpenIntel):
+    """openintel.toplist — umbrella+tranco+crux combined
+    (ref openintel/toplist.py; the merge is fetch-side concat, the
+    transform is identical)."""
+
+    URL = "https://openintel.nl/download/forward-dns/basis=toplist/"
+    NAME = "openintel.toplist"

@@ -162,3 +162,27 @@ class OpenIntelDnsgraph(SparkCrawler):
                               "IP", "ip", props_col=p),
         ]
         return nodes, triples
+
+
+class OpenIntelDnsgraphCrux(OpenIntelDnsgraph):
+    """ref openintel/dnsgraph_crux.py — single-dataset shell."""
+
+    NAME = "openintel.dnsgraph_crux"
+
+
+class OpenIntelDnsgraphJp(OpenIntelDnsgraph):
+    """ref openintel/dnsgraph_jp.py."""
+
+    NAME = "openintel.dnsgraph_jp"
+
+
+class OpenIntelDnsgraphNl(OpenIntelDnsgraph):
+    """ref openintel/dnsgraph_nl.py."""
+
+    NAME = "openintel.dnsgraph_nl"
+
+
+class OpenIntelDnsgraphRdns(OpenIntelDnsgraph):
+    """ref openintel/dnsgraph_rdns.py."""
+
+    NAME = "openintel.dnsgraph_rdns"

@@ -180,9 +180,9 @@ def gen_caida_asrank(scale: float = 1.0) -> list[FixtureDoc]:
     return docs
 
 
-def gen_bgpkit_as2rel(scale: float = 1.0) -> list[FixtureDoc]:
+def gen_bgpkit_as2rel(scale: float = 1.0,
+                      name: str = "bgpkit.as2rel_v4") -> list[FixtureDoc]:
     """FIXTURES.md §2.4 — ref iyp/crawlers/bgpkit/__init__.py:29-47."""
-    name = "bgpkit.as2rel_v4"
     rng = _rng(name)
     n = int(600 * scale)
     docs = []
@@ -320,10 +320,10 @@ def gen_cisco_umbrella(scale: float = 1.0) -> list[FixtureDoc]:
     return docs
 
 
-def gen_ihr_hegemony(scale: float = 1.0) -> list[FixtureDoc]:
+def gen_ihr_hegemony(scale: float = 1.0,
+                     name: str = "ihr.local_hegemony_v4") -> list[FixtureDoc]:
     """FIXTURES.md §2.10 — ref iyp/crawlers/ihr/__init__.py:49-81.
     Two timebins; only the first is kept by the reference."""
-    name = "ihr.local_hegemony_v4"
     rng = _rng(name)
     pool = asn_pool()
     n = int(500 * scale)
@@ -2397,12 +2397,12 @@ GENERATORS.update({
 
 # ---------------------------------------------------------------- dnsgraph
 
-def gen_openintel_dnsgraph(scale: float = 1.0) -> list[FixtureDoc]:
+def gen_openintel_dnsgraph(scale: float = 1.0,
+                           name: str = "openintel.dnsgraph") -> list[FixtureDoc]:
     """ref openintel/__init__.py:452-672: typed edge lines. Includes CNAME
     chains of depth 1-3, a deliberate ALIAS_OF 2-cycle, trailing-dot keys,
     non-compressed IPv6 targets, duplicate rows, and same-edge rows with
     different props (all kept)."""
-    name = "openintel.dnsgraph"
     rng = _rng(name)
     n_dom = max(6, int(25 * min(scale, 1.0)))
     domains = [f"dg{i}.example" for i in range(n_dom)]
@@ -2511,3 +2511,43 @@ def gen_ooni_stunreachability(scale: float = 1.0) -> list[FixtureDoc]:
 
 
 GENERATORS["ooni.stunreachability"] = gen_ooni_stunreachability
+
+
+def gen_bgpkit_as2rel_v6(scale: float = 1.0) -> list[FixtureDoc]:
+    return gen_bgpkit_as2rel(scale, name="bgpkit.as2rel_v6")
+
+
+def gen_ihr_hegemony_v6(scale: float = 1.0) -> list[FixtureDoc]:
+    return gen_ihr_hegemony(scale, name="ihr.local_hegemony_v6")
+
+
+GENERATORS.update({
+    "bgpkit.as2rel_v6": gen_bgpkit_as2rel_v6,
+    "ihr.local_hegemony_v6": gen_ihr_hegemony_v6,
+})
+
+
+def gen_openintel_infra_mx(scale: float = 1.0) -> list[FixtureDoc]:
+    return gen_openintel(scale, name="openintel.infra_mx")
+
+
+def gen_openintel_crux(scale: float = 1.0) -> list[FixtureDoc]:
+    return gen_openintel(scale, name="openintel.crux")
+
+
+def gen_openintel_toplist(scale: float = 1.0) -> list[FixtureDoc]:
+    return gen_openintel(scale, name="openintel.toplist")
+
+
+GENERATORS.update({
+    "openintel.infra_mx": gen_openintel_infra_mx,
+    "openintel.crux": gen_openintel_crux,
+    "openintel.toplist": gen_openintel_toplist,
+})
+
+
+for _ds in ("crux", "jp", "nl", "rdns"):
+    GENERATORS[f"openintel.dnsgraph_{_ds}"] = (
+        lambda scale=1.0, _n=f"openintel.dnsgraph_{_ds}":
+        gen_openintel_dnsgraph(scale, name=_n)
+    )

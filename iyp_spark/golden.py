@@ -83,6 +83,7 @@ GOLDEN = {
     "ripe.as_names": golden_ripe_as_names,
     "caida.asrank": golden_caida_asrank,
     "bgpkit.as2rel_v4": golden_bgpkit_as2rel,
+    "bgpkit.as2rel_v6": golden_bgpkit_as2rel,
 }
 
 
@@ -1352,3 +1353,14 @@ def golden_ooni_stunreachability(docs: list[FixtureDoc]) -> set[Triple]:
 
 
 GOLDEN["ooni.stunreachability"] = golden_ooni_stunreachability
+
+GOLDEN["ihr.local_hegemony_v6"] = golden_ihr_hegemony
+
+GOLDEN.update({
+    "openintel.infra_mx": golden_openintel,
+    "openintel.crux": golden_openintel,
+    "openintel.toplist": golden_openintel,
+})
+
+for _ds in ("crux", "jp", "nl", "rdns"):
+    GOLDEN[f"openintel.dnsgraph_{_ds}"] = golden_openintel_dnsgraph
