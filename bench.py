@@ -77,10 +77,15 @@ def run_scaling(kg_scale: float, repeats: int = 2) -> dict:
     ).parquet(corpus)
     spark.stop()
 
-    out = {}
-    for cores in (2, 8):
-        best = None
-        for r in range(repeats):
+    import shutil as _sh
+
+    have_taskset = _sh.which("taskset") is not None
+    runs: dict[int, list] = {2: [], 8: []}
+    # INTERLEAVE the levels (2,8,2,8) so both sample the same noise
+    # windows — sequential per-level repeats let a quiet window land
+    # entirely on one level and skew the best-of pairing either way.
+    for r in range(repeats):
+        for cores in (2, 8):
             # REALLY pin the subprocess: without taskset a "local[2]" JVM
             # still runs GC/JIT/shuffle threads on every host core, which
             # inflates the low-parallelism baseline and understates the
@@ -88,10 +93,10 @@ def run_scaling(kg_scale: float, repeats: int = 2) -> dict:
             # N-core machine. Offset the 2-core run away from CPU0 (the
             # host's interrupt-heavy core).
             cpu_list = f"1-{cores}" if cores < 31 else f"0-{cores - 1}"
-            cmd = ["taskset", "-c", cpu_list,
-                   sys.executable, "-m", "iyp_spark.bench_scaling",
-                   "--cores", str(cores), "--corpus", corpus,
-                   "--lake", os.path.join(tmp, f"lake{cores}_{r}")]
+            pin = ["taskset", "-c", cpu_list] if have_taskset else []
+            cmd = pin + [sys.executable, "-m", "iyp_spark.bench_scaling",
+                         "--cores", str(cores), "--corpus", corpus,
+                         "--lake", os.path.join(tmp, f"lake{cores}_{r}")]
             proc = subprocess.run(
                 cmd, capture_output=True, text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -104,9 +109,8 @@ def run_scaling(kg_scale: float, repeats: int = 2) -> dict:
                 raise RuntimeError(f"scaling run at {cores} cores failed")
             res = json.loads(line[-1])
             print(f"  scaling local[{cores}] run {r}: {res}", file=sys.stderr)
-            if best is None or res["seconds"] < best["seconds"]:
-                best = res
-        out[cores] = best
+            runs[cores].append(res)
+    out = {c: min(v, key=lambda x: x["seconds"]) for c, v in runs.items()}
     eff = round((out[8]["docs_per_sec"] / out[2]["docs_per_sec"]) / 4.0, 3)
     res = {
         "localN_cores": 2,
