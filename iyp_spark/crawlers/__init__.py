@@ -22,7 +22,7 @@ from .nro_delegated import NroDelegatedStats
 from .openintel import (OpenIntel, OpenIntelCrux, OpenIntelInfraMx,
                         OpenIntelInfraNs, OpenIntelToplist, OpenIntelUmbrella1M)
 from .inetintel_as_org import InetIntelAsOrg
-from .pch_routing import PchRoutingV4
+from .pch_routing import PchRoutingV4, PchRoutingV6
 from .worldbank_pop import WorldBankCountryPop
 from .iana_root_zone import IanaRootZone
 from .ripe_roa import RipeRoa
@@ -50,6 +50,7 @@ from .peeringdb_fac import PeeringdbFac
 from .google_crux import GoogleCruxCountry
 from .ripe_atlas_measurements import RipeAtlasMeasurements
 from .simulamet_rdns import SimulametRirdataRdns
+from .manrs_members import ManrsMembers
 from .openintel_dnsgraph import (OpenIntelDnsgraph, OpenIntelDnsgraphCrux,
                                  OpenIntelDnsgraphJp, OpenIntelDnsgraphNl,
                                  OpenIntelDnsgraphRdns)
@@ -70,6 +71,7 @@ CRAWLER_ORDER = [
     CaidaAs2Org,
     OpenIntel,
     PchRoutingV4,
+    PchRoutingV6,
     IanaRootZone,
     RipeRoa,
     MaxmindGeoliteCountry,
@@ -99,6 +101,7 @@ CRAWLER_ORDER = [
     OpenIntelToplist,
     GoogleCruxCountry,
     SimulametRirdataRdns,
+    ManrsMembers,
     OpenIntelDnsgraph,
     OpenIntelDnsgraphCrux,
     OpenIntelDnsgraphJp,

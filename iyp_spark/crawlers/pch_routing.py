@@ -176,3 +176,13 @@ class PchRoutingV4(SparkCrawler):
                               "BGPPrefix", "prefix", props_col=F.col("link_props"))
         ]
         return nodes, triples
+
+
+class PchRoutingV6(PchRoutingV4):
+    """ref pch/daily_routing_snapshots_v6.py — af=6 instance; the parser's
+    v6 branches (bracketless ':' status detection, 3-line wraps) are in
+    parse_show_ip_bgp."""
+
+    URL = "https://www.pch.net/resources/Routing_Data/IPv6_daily_snapshots/"
+    NAME = "pch.daily_routing_snapshots_v6"
+    AF = 6

@@ -2551,3 +2551,108 @@ for _ds in ("crux", "jp", "nl", "rdns"):
         lambda scale=1.0, _n=f"openintel.dnsgraph_{_ds}":
         gen_openintel_dnsgraph(scale, name=_n)
     )
+
+
+def gen_pch_routing_v6(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref pch/daily_routing_snapshots_v6.py + show_bgp_parser: v6 tables
+    wrap the network onto its own line (nexthop + metrics follow on one
+    or two continuation lines); no classful shorthand in v6."""
+    name = "pch.daily_routing_snapshots_v6"
+    rng = _rng(name)
+    pool = asn_pool()
+    n_collectors = max(4, int(10 * min(scale, 2.0)))
+    n_routes = max(8, int(30 * scale))
+    docs = []
+    for c in range(n_collectors):
+        collector = f"route-collector.{COUNTRIES[c % len(COUNTRIES)]}{c}.pch.net"
+        lines = [
+            f"BGP table version is {2000 + c}, local router ID is 198.51.100.{c}",
+            "Status codes: s suppressed, d damped, h history, * valid, > best",
+            "Origin codes: i - IGP, e - EGP, ? - incomplete",
+            "",
+            "   Network          Next Hop            Metric LocPrf Weight Path",
+        ]
+        expected = set()
+        last_pfx = None
+        for r in range(n_routes):
+            h = rng.randint(1, 0xFFFF)
+            plen = rng.choice([40, 48])
+            if plen == 40:
+                h &= 0xFF00  # /40-aligned third hextet
+                h = h or 0x100
+            pfx = f"2001:db8:{h:x}::/{plen}"
+            origin = rng.choice(pool)
+            path = " ".join(
+                str(x) for x in rng.sample(pool, rng.randint(1, 3)) + [origin]
+            )
+            kind = rng.random()
+            if kind < 0.10:
+                lines.append(f"s  {pfx} 2001:db8::1 0 100 {path} i")
+                last_pfx = pfx
+            elif kind < 0.18:
+                lines.append(f"*> {pfx} 2001:db8::1 0 100 {path} ?")
+                last_pfx = pfx
+            elif kind < 0.30 and last_pfx is not None:
+                # inherited prefix: v6 nexthop first token contains ':'
+                lines.append(f"*  2001:db8::{r % 250 + 1} 0 100 {path} i")
+                expected.add((last_pfx, origin))
+            elif kind < 0.55:
+                # fully wrapped: network / nexthop / metrics+path
+                lines.append(f"*> {pfx}")
+                lines.append(f"                 2001:db8::{r % 250 + 1}")
+                lines.append(f"                 0 100 {path} i")
+                last_pfx = pfx
+                expected.add((pfx, origin))
+            else:
+                lines.append(f"*> {pfx} 2001:db8::{r % 250 + 1} 0 100 {path} i")
+                last_pfx = pfx
+                expected.add((pfx, origin))
+        lines.append("")
+        lines.append(f"Total number of prefixes {n_routes}")
+        docs.append(FixtureDoc(
+            f"{name}/{c:06d}", name,
+            _spans([("text", collector), ("text", "\n".join(lines)),
+                    ("media", f"blob://snapshot/{collector}")]),
+            {"collector": collector, "expected": sorted(expected)},
+        ))
+    return docs
+
+
+GENERATORS["pch.daily_routing_snapshots_v6"] = gen_pch_routing_v6
+
+
+# ---------------------------------------------------------------- manrs
+
+def gen_manrs_members(scale: float = 1.0) -> list[FixtureDoc]:
+    """ref manrs/members.py:58-105: naive comma-split CSV of
+    (org, areas, asns, act1..act4); ';'-joined multi-values; orgs
+    without ASNs skipped; one header line."""
+    name = "manrs.members"
+    rng = _rng(name)
+    n = max(10, int(50 * min(scale, 1.0)))
+    pool = asn_pool()
+    docs = [FixtureDoc(
+        f"{name}/header", name,
+        _spans([("text", "Organization,Areas Served,ASNs,"
+                         "Action 1,Action 2,Action 3,Action 4")]),
+        {"header": True},
+    )]
+    for i in range(n):
+        org = org_name(rng).replace(",", "")
+        if rng.random() < 0.08:
+            asns = ""  # no ASN → skipped
+        else:
+            asns = ";".join(str(a) for a in
+                            rng.sample(pool, rng.randint(1, 3)))
+        areas = ";".join(rng.choice(COUNTRIES).upper()
+                         for _ in range(rng.randint(1, 2)))
+        acts = [rng.choice(["Yes", "No", ""]) for _ in range(4)]
+        line = f"{org},{areas},{asns}," + ",".join(acts)
+        docs.append(FixtureDoc(
+            f"{name}/{i:06d}", name, _spans([("text", line)]),
+            {"org": org, "areas": areas, "asns": asns, "acts": acts},
+        ))
+    return docs
+
+
+GENERATORS["manrs.members"] = gen_manrs_members

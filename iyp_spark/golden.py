@@ -1364,3 +1364,33 @@ GOLDEN.update({
 
 for _ds in ("crux", "jp", "nl", "rdns"):
     GOLDEN[f"openintel.dnsgraph_{_ds}"] = golden_openintel_dnsgraph
+
+
+# ---------------------------------------------------------------- manrs
+
+def golden_manrs_members(docs: list[FixtureDoc]) -> set[Triple]:
+    """ref manrs/members.py:58-105."""
+    labels = ["MANRS Action 1: Filtering", "MANRS Action 2: Anti-spoofing",
+              "MANRS Action 3: Coordination",
+              "MANRS Action 4: Global Validation"]
+    out = set()
+    for d in docs:
+        r = d.record
+        if r.get("header") or not r["asns"]:
+            continue
+        for asn_s in r["asns"].split(";"):
+            asn = int(asn_s)
+            out.add(_t("AS", asn, "MEMBER_OF", "Organization", "MANRS"))
+            for cc in r["areas"].split(";"):
+                cc = cc.strip()
+                if cc:
+                    out.add(_t("AS", asn, "COUNTRY", "Country", cc))
+            for j, act in enumerate(r["acts"]):
+                if act == "Yes":
+                    out.add(_t("AS", asn, "IMPLEMENT", "ManrsAction",
+                               labels[j]))
+    return out
+
+
+GOLDEN["manrs.members"] = golden_manrs_members
+GOLDEN["pch.daily_routing_snapshots_v6"] = golden_pch
