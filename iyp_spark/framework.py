@@ -250,6 +250,8 @@ SUBTYPE_LABELS = {
     "GeoPrefix": ["Prefix"],
     "PeeringLAN": ["Prefix"],
     "RPKIPrefix": ["Prefix"],
+    "IANAPrefix": ["Prefix"],
+    "RDNSPrefix": ["Prefix"],
 }
 
 
