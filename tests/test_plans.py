@@ -26,6 +26,10 @@ def test_no_per_row_python_in_crawler_plans(store, corpus, name):
     for df in list(nodes) + list(triples):
         plan = plan_of(df)
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+        # unbounded cross products never survive a 100x scale-up; the only
+        # nested-loop joins allowed are broadcast range joins against
+        # provably tiny dimensions (lpm coarse side, price bands)
+        assert "CartesianProduct" not in plan, f"{name}: cartesian join"
 
 
 def test_documents_scan_partition_prunes(store, corpus):
