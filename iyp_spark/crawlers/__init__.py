@@ -32,7 +32,11 @@ from .ooni import (OoniFacebookMessenger, OoniHttpHeaderFieldManipulation,
                    OoniVanillaTor, OoniWebConnectivity, OoniWhatsApp)
 from .caida_ixs import CaidaIxAsns, CaidaIxs
 from .geolite import IpinfoIpCountry, MaxmindGeoliteCountry
-from .alice_lg import AliceLgAmsix, AliceLgDecix, AliceLgLinx
+from .alice_lg import (AliceLgAmsix, AliceLgBcix, AliceLgDdix,
+                       AliceLgDecix, AliceLgIxAustralia, AliceLgIxBr,
+                       AliceLgLinx, AliceLgMegaport, AliceLgNetnod,
+                       AliceLgNzix, AliceLgPix, AliceLgSfmix, AliceLgSix,
+                       AliceLgTopix)
 from .ihr_country_dependency import IhrCountryDependency
 from .ihr_rov import IhrRov
 from .flat_linkers import (BgpToolsAsNames, CitizenLabUrldb,
@@ -135,6 +139,17 @@ CRAWLER_ORDER = [
     AliceLgDecix,  # LPMs member IPs against wave-2/3 PeeringLANs
     AliceLgAmsix,
     AliceLgLinx,
+    AliceLgBcix,
+    AliceLgDdix,
+    AliceLgIxAustralia,
+    AliceLgIxBr,
+    AliceLgMegaport,
+    AliceLgNetnod,
+    AliceLgNzix,
+    AliceLgPix,
+    AliceLgSfmix,
+    AliceLgSix,
+    AliceLgTopix,
     CloudflareDnsTopAses,    # seed scan over RANK edges incl. umbrella's
     CloudflareDnsTopLocations,
 ]

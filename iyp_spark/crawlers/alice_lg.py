@@ -209,3 +209,29 @@ class AliceLgLinx(AliceLgDecix):
 
     URL = "https://alice-rs.linx.net/api/v1"
     NAME = "alice_lg.linx"
+
+
+def _instance(name_suffix: str, url: str):
+    """Shell factory for the remaining looking glasses — each reference
+    module (alice_lg/<ix>.py) is a config-only subclass of the base."""
+
+    cls = type(
+        f"AliceLg{name_suffix.capitalize()}",
+        (AliceLgDecix,),
+        {"URL": url, "NAME": f"alice_lg.{name_suffix}",
+         "__doc__": f"ref iyp/crawlers/alice_lg/{name_suffix}.py."},
+    )
+    return cls
+
+
+AliceLgBcix = _instance("bcix", "https://lg.bcix.de/api/v1")
+AliceLgDdix = _instance("ddix", "https://lg.ddix.de/api/v1")
+AliceLgIxAustralia = _instance("ixaustralia", "https://lg.ix.asn.au/api/v1")
+AliceLgIxBr = _instance("ixbr", "https://lg.ix.br/api/v1")
+AliceLgMegaport = _instance("megaport", "https://lg.megaport.com/api/v1")
+AliceLgNetnod = _instance("netnod", "https://lg.netnod.se/api/v1")
+AliceLgNzix = _instance("nzix", "https://lg.ix.nz/api/v1")
+AliceLgPix = _instance("pix", "https://lg.pix.net.pk/api/v1")
+AliceLgSfmix = _instance("sfmix", "https://lg.sfmix.org/api/v1")
+AliceLgSix = _instance("six", "https://lg.seattleix.net/api/v1")
+AliceLgTopix = _instance("topix", "https://lg.top-ix.org/api/v1")

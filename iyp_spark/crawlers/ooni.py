@@ -350,7 +350,7 @@ class OoniSignal(_TagCensoredCrawler):
     """ref iyp/crawlers/ooni/osignal.py:15-60: signal_backend_status is the
     category; null status → skip."""
 
-    NAME = "ooni.signal"
+    NAME = "ooni.osignal"
     DATASET = "signal"
     TAG_LABEL = "OONI Signal Test"
     CATEGORIES = ["ok", "blocked"]

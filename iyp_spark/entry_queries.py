@@ -575,6 +575,45 @@ def dedup_simhash(spark, sf_dir):
     return simhash(tbl(spark, sf_dir, "documents"))
 
 
+@q("dedup_embedding_neardup", """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+mut AS (
+  SELECT vec_id, vec FROM base
+  UNION ALL
+  SELECT vec_id + 100000, vec FROM base WHERE vec_id % 5 = 0
+  UNION ALL
+  SELECT vec_id + 200000,
+         list_transform(vec, x -> x + CASE WHEN x >= 0 THEN 0.02 ELSE -0.02 END)
+  FROM base WHERE vec_id % 7 = 0),
+proj AS (
+  SELECT vec_id, b,
+    SUM(CAST(FLOOR(vec[i] *
+          (CASE WHEN CAST(FLOOR((1103515245*((i-1) + 97*b) + 12345) / 65536) AS BIGINT) % 2 = 0
+           THEN 1.0 ELSE -1.0 END) * 1000000.0) AS BIGINT)) AS p
+  FROM mut, UNNEST(range(1, len(vec)+1)) AS t(i), UNNEST(range(0, 16)) AS bb(b)
+  GROUP BY vec_id, b),
+sig AS (
+  SELECT vec_id, CAST(b // 8 AS BIGINT) AS band,
+         CAST(SUM(CASE WHEN p >= 0 THEN CAST(POW(2, b % 8) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, b // 8),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, x.vec_id AS id_b
+  FROM sig a JOIN sig x
+    ON a.band = x.band AND a.bucket = x.bucket AND a.vec_id < x.vec_id),
+n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM mut)
+SELECT id_a, id_b, FLOOR(cos * 1000000) / 1000000 AS cos FROM (
+  SELECT c.id_a, c.id_b,
+         list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
+  FROM cand c
+  JOIN n a ON a.vec_id = c.id_a
+  JOIN n b ON b.vec_id = c.id_b)
+WHERE cos >= 0.99
+""")
+def dedup_embedding_neardup(spark, sf_dir):
+    from .ops.dedup import embedding_neardup_pairs
+    return embedding_neardup_pairs(tbl(spark, sf_dir, "embeddings"))
+
+
 # =====================================================================
 # Training-data ops: similarity search (ops/similarity.py)
 # =====================================================================

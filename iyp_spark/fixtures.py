@@ -1080,7 +1080,7 @@ def gen_ooni_whatsapp(scale: float = 1.0) -> list[FixtureDoc]:
 
 def gen_ooni_signal(scale: float = 1.0) -> list[FixtureDoc]:
     """ref ooni/osignal.py:15-33: null status → pop."""
-    name = "ooni.signal"
+    name = "ooni.osignal"
     rng = _rng(name)
     records = []
     for _ in range(int(250 * scale)):
@@ -1150,7 +1150,7 @@ GENERATORS.update({
     "ooni.webconnectivity": gen_ooni_webconnectivity,
     "ooni.telegram": gen_ooni_telegram,
     "ooni.whatsapp": gen_ooni_whatsapp,
-    "ooni.signal": gen_ooni_signal,
+    "ooni.osignal": gen_ooni_signal,
     "ooni.psiphon": gen_ooni_psiphon,
     "ooni.tor": gen_ooni_tor,
 })
@@ -1481,6 +1481,10 @@ def gen_alice_lg(scale: float = 1.0,
                                {"kind": "neighbors", "rs": f"rs{rs}",
                                 "cached_at": cached_ats[rs],
                                 "list": neighbors}))
+    if not route_targets:
+        # ORIGINATE is an EXPECTED_PRED — small scales must still emit
+        # at least one received-routes page
+        route_targets.append((0, "nb_0_0"))
     for i, (rs, nb_id) in enumerate(route_targets):
         imported = []
         for _ in range(rng.randint(1, 6)):
@@ -2656,3 +2660,11 @@ def gen_manrs_members(scale: float = 1.0) -> list[FixtureDoc]:
 
 
 GENERATORS["manrs.members"] = gen_manrs_members
+
+
+for _ix in ("bcix", "ddix", "ixaustralia", "ixbr", "megaport", "netnod",
+            "nzix", "pix", "sfmix", "six", "topix"):
+    GENERATORS[f"alice_lg.{_ix}"] = (
+        lambda scale=1.0, _n=f"alice_lg.{_ix}":
+        gen_alice_lg(max(0.08, scale * 0.3), name=_n)  # small per-instance
+    )

@@ -661,7 +661,7 @@ GOLDEN.update({
     "ooni.webconnectivity": golden_ooni_webconnectivity,
     "ooni.telegram": golden_ooni_telegram,
     "ooni.whatsapp": golden_ooni_whatsapp,
-    "ooni.signal": golden_ooni_signal,
+    "ooni.osignal": golden_ooni_signal,
     "ooni.psiphon": golden_ooni_psiphon,
     "ooni.tor": golden_ooni_tor,
 })

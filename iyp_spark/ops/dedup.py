@@ -160,3 +160,120 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
             F.when(F.col("s") > 0, F.expr("shiftleft(1, i - 1)")).otherwise(0)
         ).cast("long").alias("simhash")
     )
+
+
+# ---------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (sign-LSH over hyperplanes)
+# ---------------------------------------------------------------------
+EMB_BANDS = 2
+EMB_BITS = 8  # bits per band; bucket space = 2^EMB_BITS per band
+
+
+def emb_with_mutants(emb: DataFrame, exact_every: int = 5,
+                     near_every: int = 7) -> DataFrame:
+    """Synthesize duplicate *embeddings* inside the query (the synthetic
+    vectors are i.i.d. — no natural near-pairs): exact copies for
+    vec_id % exact_every == 0 (id+100000) and perturbed copies
+    (x + 0.02·sign(x), ≈0.012 rad ⇒ cos ≈ 0.99993) for
+    vec_id % near_every == 0 (id+200000). All math in double so the
+    DuckDB oracle reproduces it bit-for-bit."""
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    exact = base.filter(F.col("vec_id") % exact_every == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "vec"
+    )
+    near = base.filter(F.col("vec_id") % near_every == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform(
+            "vec", lambda x: x + F.when(x >= 0, F.lit(0.02)).otherwise(F.lit(-0.02))
+        ).alias("vec"),
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+def _emb_projection(b: int) -> F.Column:
+    """Integer-quantized projection of ``vec`` onto deterministic ±1
+    hyperplane #b. The hyperplane sign for (dim i, bit b) is a middle bit
+    of an LCG — reproducible in any engine with 64-bit integer + double
+    arithmetic. Each term is floor-quantized to 1e-6 BEFORE summation so
+    the sum is an exact integer — float addition is not associative, and
+    Spark's fold order differs from DuckDB's SUM order; integer addition
+    makes the bucket keys engine-independent."""
+    return F.expr(
+        f"aggregate(transform(vec, (x, i) -> "
+        f"  CAST(FLOOR(x * (CASE WHEN CAST(FLOOR((1103515245L*(i + 97*{b}) + 12345) / 65536) AS BIGINT) % 2 = 0 "
+        f"       THEN 1.0D ELSE -1.0D END) * 1000000.0D) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def embedding_neardup_pairs(emb: DataFrame,
+                            threshold: float = 0.99) -> DataFrame:
+    """Embedding-cosine near-dup: sign-LSH (random-hyperplane) bucketing →
+    band-bucket self-join for candidates → exact cosine verification.
+
+    Scale path (10^12 vectors): the projections are per-row map work (no
+    shuffle, whole-stage codegen); the only shuffle is the band-bucket
+    equi-join whose key space is EMB_BANDS × 2^EMB_BITS uniform buckets —
+    widen EMB_BITS with corpus size to keep buckets O(rows/2^bits). This is
+    sub-quadratic vs the O(N²) brute-force cosine join; recall is the
+    standard (1-(1-cos^bits)^bands) LSH trade and the verify stage makes
+    precision exact."""
+    n_bits = EMB_BANDS * EMB_BITS
+    sig = emb_with_mutants(emb).select(
+        "vec_id", "vec",
+        *[(_emb_projection(b) >= 0).cast("int").alias(f"s{b}") for b in range(n_bits)],
+    )
+    band_cols = [
+        sum(
+            F.col(f"s{g * EMB_BITS + j}") * F.lit(1 << j)
+            for j in range(EMB_BITS)
+        ).cast("long").alias(f"band{g}")
+        for g in range(EMB_BANDS)
+    ]
+    sig = sig.select("vec_id", "vec", *band_cols)
+    buckets = sig.select(
+        "vec_id",
+        F.expr(
+            "stack(%d, %s) as (band, bucket)"
+            % (EMB_BANDS,
+               ", ".join(f"{g}, band{g}" for g in range(EMB_BANDS)))
+        ),
+    )
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.bucket") == F.col("b.bucket"))
+              & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    n = sig.select(
+        "vec_id", "vec",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("vec", "vec", lambda x, y: x * y),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(n.select(F.col("vec_id").alias("id_a"),
+                           F.col("vec").alias("va"), F.col("nrm").alias("na")),
+                  "id_a")
+        .join(n.select(F.col("vec_id").alias("id_b"),
+                       F.col("vec").alias("vb"), F.col("nrm").alias("nb")),
+              "id_b")
+        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            "id_a", "id_b",
+            (F.floor(F.col("cos") * 1000000) / 1000000).alias("cos"),
+        )
+    )
