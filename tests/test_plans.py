@@ -43,3 +43,16 @@ def test_dim_joins_broadcast(spark):
 
     plan = plan_of(QUERIES["revenue_per_region"](spark, "/root/testdata/sf0.01"))
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+@pytest.mark.parametrize("qname", sorted(__import__("iyp_spark.entry_queries", fromlist=["QUERIES"]).QUERIES))
+def test_no_per_row_python_in_entry_queries(spark, qname):
+    """Every driver-contract query stays Arrow-or-JVM (BatchEvalPython
+    banned) and shuffle-joins on keys (CartesianProduct banned — the only
+    nested-loop joins allowed are broadcast range joins against provably
+    tiny dimensions)."""
+    from iyp_spark.entry_queries import QUERIES
+
+    plan = plan_of(QUERIES[qname](spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan, f"{qname}: row-at-a-time Python UDF"
+    assert "CartesianProduct" not in plan, f"{qname}: cartesian join"
