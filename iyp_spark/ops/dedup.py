@@ -67,19 +67,28 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
 
 def minhash_signatures(sh: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """(doc_id, band, sig): per-band min of md5(band:shingle) — one hash
-    function per band, signature = the band minimum."""
-    return (
-        sh.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-            "sh",
-        )
-        .select(
-            "doc_id", "band",
-            F.md5(F.concat_ws(":", F.col("band"), F.col("sh"))).alias("h"),
-        )
-        .groupBy("doc_id", "band")
-        .agg(F.min("h").alias("sig"))
+    function per band, signature = the band minimum.
+
+    All band minima are computed in ONE groupBy pass (n_bands min-aggs per
+    row) instead of exploding each shingle ×n_bands first: the hash work is
+    identical but the aggregate consumes 1/n_bands the rows, and the
+    (tiny) shuffle carries one row per doc instead of one per (doc, band).
+    The trailing stack() restores the (doc_id, band, sig) long shape the
+    band-bucket join expects."""
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(b), F.col("sh")))
+            ).alias(f"m{b}")
+            for b in range(n_bands)
+        ]
+    )
+    return mins.select(
+        "doc_id",
+        F.expr(
+            "stack(%d, %s) as (band, sig)"
+            % (n_bands, ", ".join(f"{b}, m{b}" for b in range(n_bands)))
+        ),
     )
 
 
