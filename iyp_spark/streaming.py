@@ -89,3 +89,81 @@ def incremental_triples(
         .start()
     )
     query.awaitTermination()
+
+
+def first_seen_documents(
+    spark: SparkSession, drop_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Streaming cross-batch exact dedup: emit each document content
+    fingerprint the FIRST time it is ever seen, across micro-batches AND
+    across restarts (the per-key state lives in the stream checkpoint).
+
+    This is the custom stateful-operator surface (SURVEY 2.9,
+    applyInPandasWithState): dropDuplicates on an unwatermarked stream
+    keeps unbounded per-key state too, but gives no control over what is
+    emitted; here the operator returns (fp, first_doc_id) rows only when a
+    fingerprint is new - the streaming twin of ops.dedup.exact_dedup_groups.
+
+    Scale path: state is hash-partitioned by fingerprint (uniform - it IS
+    a hash) and checkpointed per partition; at 10^12 docs the state store
+    would be RocksDB-backed (one config switch on a real cluster). The
+    Python side is Arrow-batched per group, never per-row.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    out_schema = StructType([
+        StructField("fp", StringType()),
+        StructField("first_doc_id", StringType()),
+    ])
+    state_schema = StructType([StructField("n_seen", LongType())])
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n_new = 0
+        first_doc = None
+        for pdf in pdf_iter:
+            if len(pdf) and first_doc is None:
+                first_doc = pdf["doc_id"].min()
+            n_new += len(pdf)
+        (n_prev,) = state.get if state.exists else (0,)
+        state.update((n_prev + n_new,))
+        if n_prev == 0 and first_doc is not None:
+            yield pd.DataFrame({"fp": [key[0]], "first_doc_id": [first_doc]})
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(drop_dir)
+    )
+    fingerprinted = stream.select(
+        F.col("doc_id"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    "spans",
+                    lambda s: F.concat_ws(
+                        "|", s["kind"], F.coalesce(s["text"], F.lit("")),
+                        F.coalesce(s["media_ref"], F.lit("")),
+                    ),
+                ),
+            )
+        ).alias("fp"),
+    )
+    query = (
+        fingerprinted.groupBy("fp")
+        .applyInPandasWithState(
+            dedup_fn, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .start()
+    )
+    query.awaitTermination()

@@ -83,3 +83,46 @@ def test_incremental_triple_construction(spark):
         assert store.read_nodes("AS").count() > 0
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stateful_first_seen_dedup_across_runs(spark):
+    """applyInPandasWithState cross-batch dedup: a fingerprint emitted in
+    run 1 is suppressed in run 2 (per-key state survives restart via the
+    stream checkpoint); only genuinely new content is emitted."""
+    from iyp_spark.streaming import first_seen_documents
+
+    base = tempfile.mkdtemp(prefix="iyp_stream3_")
+    try:
+        drop = os.path.join(base, "drop")
+        cp = os.path.join(base, "cp")
+        out = os.path.join(base, "firstseen")
+        docs = GENERATORS["bgpkit.pfx2asn"](0.1)
+        a, b = docs[:30], docs[30:60]
+
+        # run 1: fresh docs + an exact duplicate of a[0] under another id
+        import copy
+
+        dup = copy.deepcopy(a[0])
+        dup.doc_id = a[0].doc_id + "_copy"
+        _drop(spark, drop, a + [dup], "part1")
+        first_seen_documents(spark, drop, out, cp)
+        out1 = spark.read.parquet(out)
+        fps1 = {r["fp"] for r in out1.collect()}
+        # the duplicate collapses into a[0]'s fingerprint
+        assert out1.count() == len(fps1) == 30
+
+        # run 2: re-drop duplicates of run-1 content plus new docs
+        dups2 = []
+        for d in a[:5]:
+            d2 = copy.deepcopy(d)
+            d2.doc_id = d.doc_id + "_again"
+            dups2.append(d2)
+        _drop(spark, drop, b + dups2, "part2")
+        first_seen_documents(spark, drop, out, cp)
+        out2 = spark.read.parquet(out)
+        fps2 = {r["fp"] for r in out2.collect()}
+        # only the 30 new fingerprints were added; replayed content silent
+        assert out2.count() == 60
+        assert fps1 < fps2 and len(fps2) == 60
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
