@@ -167,3 +167,54 @@ def first_seen_documents(
         .start()
     )
     query.awaitTermination()
+
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def windowed_event_counts(
+    spark: SparkSession, drop_dir: str, out_dir: str, checkpoint_dir: str,
+    window: str = "1 hour", late: str = "2 hours",
+) -> None:
+    """Event-time windowed aggregation with a watermark (late-data
+    handling): hourly (event_type, window) counts over an event stream.
+
+    Append output mode emits a window only once the watermark has passed
+    it (max event time seen so far minus ``late``), so each finalized
+    window is written exactly once; events arriving later than ``late``
+    behind the stream's max event time are DROPPED by the watermark
+    instead of reopening a finalized window — the bounded-state contract
+    that lets this run forever on an unbounded stream.
+
+    Scale path: per-window aggregation is map-side partial; state is one
+    row per (event_type, open window), bounded by the watermark horizon —
+    independent of stream length.
+    """
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(drop_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", late)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    query = (
+        agg.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .start()
+    )
+    query.awaitTermination()

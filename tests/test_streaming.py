@@ -126,3 +126,63 @@ def test_stateful_first_seen_dedup_across_runs(spark):
         assert fps1 < fps2 and len(fps2) == 60
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_watermark_windowed_aggregation_drops_late_events(spark):
+    """Event-time windows finalize when the watermark (max event time - 2h)
+    passes them; a finalized window is emitted exactly once and an event
+    arriving behind the watermark is dropped, not re-aggregated."""
+    import datetime as dt
+
+    from iyp_spark.streaming import EVENTS_SCHEMA, windowed_event_counts
+
+    base = tempfile.mkdtemp(prefix="iyp_stream4_")
+
+    def t(h, m):
+        return dt.datetime(2026, 1, 1, h, m)
+
+    def drop_events(rows, part):
+        df = spark.createDataFrame(
+            [(i, ts, 1, "click", 1.0, "{}") for i, ts in enumerate(rows)],
+            EVENTS_SCHEMA,
+        )
+        stage = os.path.join(base, f"stage_{part}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        import glob
+
+        os.makedirs(os.path.join(base, "drop"), exist_ok=True)
+        shutil.move(
+            glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+            os.path.join(base, "drop", f"{part}.parquet"),
+        )
+
+    def run():
+        windowed_event_counts(
+            spark, os.path.join(base, "drop"), os.path.join(base, "out"),
+            os.path.join(base, "cp"),
+        )
+        out = os.path.join(base, "out")
+        if not [f for f in os.listdir(out) if f.endswith(".parquet")]:
+            return {}
+        return {
+            (r["win_start"].hour, r["event_type"]): r["n_events"]
+            for r in spark.read.parquet(out).collect()
+        }
+
+    try:
+        # run 1: hours 0 (3 events) and 1 (1 event); nothing finalized yet
+        drop_events([t(0, 10), t(0, 20), t(0, 40), t(1, 30)], "p1")
+        assert run() == {}
+
+        # run 2: an event at 05:00 advances the watermark to 03:00,
+        # finalizing the hour-0 and hour-1 windows
+        drop_events([t(5, 0)], "p2")
+        assert run() == {(0, "click"): 3, (1, "click"): 1}
+
+        # run 3: a late event at 00:20 (behind the 03:00 watermark) is
+        # dropped; 08:00 advances the watermark to 06:00, finalizing the
+        # 05:00 window. Hour 0 is NOT re-emitted or re-counted.
+        drop_events([t(0, 20), t(8, 0)], "p3")
+        assert run() == {(0, "click"): 3, (1, "click"): 1, (5, "click"): 1}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
