@@ -31,31 +31,37 @@ class CleanLinks:
 
     def run(self) -> dict:
         triples = self.store.read_triples()
-        affected = (
-            triples.filter(
+        affected = [
+            r["reference_name"]
+            for r in triples.filter(
                 (F.col("reference.reference_org") == TARGET_ORG)
                 & F.col("pred").isin(PREDS)
             )
             .select("reference_name")
             .distinct()
             .collect()
+        ]
+        if not affected:
+            self.store.log_lineage(self.NAME, "materialize", 0, 0.0)
+            return {"post": self.NAME, "removed": 0}
+        # ONE pass over all affected partitions: window keyed by
+        # (reference_name, edge) keeps rank 1, one dynamic-partition
+        # overwrite rewrites every touched partition together. The old
+        # per-partition loop paid a count + checkpoint + write job per
+        # crawler — O(affected crawlers) driver round-trips.
+        parts = triples.filter(F.col("reference_name").isin(affected))
+        target = parts.filter(F.col("pred").isin(PREDS))
+        keep_rest = parts.filter(~F.col("pred").isin(PREDS))
+        w = W.partitionBy("reference_name", "subj_id", "pred", "obj_id").orderBy(
+            F.asc_nulls_last(F.to_json("props"))
         )
-        removed_total = 0
-        for row in affected:
-            ref_name = row["reference_name"]
-            part = self.store.read_triples(ref_name)
-            target = part.filter(F.col("pred").isin(PREDS))
-            keep_rest = part.filter(~F.col("pred").isin(PREDS))
-            w = W.partitionBy("subj_id", "pred", "obj_id").orderBy(
-                F.asc_nulls_last(F.to_json("props"))
-            )
-            deduped = (
-                target.withColumn("rn", F.row_number().over(w))
-                .filter("rn = 1")
-                .drop("rn")
-            )
-            before = part.count()
-            n = self.store.replace_triples(ref_name, deduped.unionByName(keep_rest))
-            removed_total += before - n
+        deduped = (
+            target.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("rn")
+        )
+        before = parts.count()
+        n = self.store.replace_triples_multi(deduped.unionByName(keep_rest))
+        removed_total = before - n
         self.store.log_lineage(self.NAME, "materialize", removed_total, 0.0)
         return {"post": self.NAME, "removed": removed_total}
