@@ -638,7 +638,22 @@ def cosine_topk_bruteforce(spark, sf_dir):
 @q("ann_ivf_topk", """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
 n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
-cents AS (SELECT vec_id AS c_id, vec AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+seeds AS (SELECT vec_id AS c_id, vec AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+assigned0 AS (
+  SELECT vec_id, vec, nrm, c_id AS cell FROM (
+    SELECT n.vec_id, n.vec, n.nrm, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+               ORDER BY list_dot_product(n.vec, c.cv) / (n.nrm * c.cn) DESC,
+                        c.c_id) AS rn
+    FROM n CROSS JOIN seeds c) WHERE rn = 1),
+dim_means AS (
+  SELECT cell, i,
+         SUM(CAST(FLOOR(vec[i] * 1000000) AS BIGINT)) / COUNT(*) / 1000000.0 AS m
+  FROM assigned0, UNNEST(range(1, len(vec)+1)) AS t(i)
+  GROUP BY cell, i),
+cents AS (
+  SELECT cell AS c_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+    SELECT cell, array_agg(m ORDER BY i) AS cv FROM dim_means GROUP BY cell)),
 assigned AS (
   SELECT vec_id, vec, nrm, c_id AS cell FROM (
     SELECT n.vec_id, n.vec, n.nrm, c.c_id,

@@ -60,24 +60,73 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     )
 
 
-def ivf_topk(
-    emb: DataFrame, centroid_every: int = 50, n_queries: int = 10, k: int = 3
-) -> DataFrame:
-    """IVF-style ANN: centroids = vectors with vec_id % centroid_every == 0;
-    every vector is assigned to its max-cosine centroid (its cell); queries
-    search only their own cell. Returns (q_id, n_id, cell, cos)."""
-    n = with_norm(emb)
-    cents = n.filter(F.col("vec_id") % centroid_every == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("vec").alias("cv"), F.col("nrm").alias("cn")
-    )
+def _assign_cells(n: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (broadcast cents)."""
     w_assign = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
-    assigned = (
+    return (
         n.join(F.broadcast(cents))
         .withColumn("ccos", _dot(F.col("vec"), F.col("cv")) / (F.col("nrm") * F.col("cn")))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "vec", "nrm", F.col("c_id").alias("cell"))
     )
+
+
+def lloyd_refined_centroids(
+    emb: DataFrame, centroid_every: int = 50
+) -> DataFrame:
+    """One Lloyd (k-means) refinement of the modulo-sampled seed centroids:
+    assign every vector to its nearest seed, then replace each centroid
+    with the element-wise MEAN of its assigned vectors.
+
+    Engine-portability: each component is floor-quantized to 1e-6 BEFORE
+    the mean (integer sums are associative; float sums are not, and
+    Spark's aggregation order differs from DuckDB's), so the refined
+    centroids — and everything downstream — are bit-identical across
+    engines.
+
+    Scale path: assignment is a broadcast map-side join (no shuffle of the
+    big side); the mean is one groupBy(cell, dim) after a posexplode —
+    shuffle keyed by (cell, dim), uniform by construction. Further Lloyd
+    iterations are the same two steps repeated."""
+    n = with_norm(emb)
+    seeds = n.filter(F.col("vec_id") % centroid_every == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    assigned = _assign_cells(n, seeds)
+    by_dim = assigned.select(
+        "cell", F.posexplode(F.col("vec")).alias("i", "x")
+    ).select("cell", "i", F.floor(F.col("x") * 1000000).cast("long").alias("xq"))
+    dim_means = by_dim.groupBy("cell", "i").agg(
+        (F.sum("xq") / F.count(F.lit(1)) / F.lit(1000000.0)).alias("m")
+    )
+    refined = (
+        dim_means.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+        .select(
+            F.col("cell").alias("c_id"), "cv",
+            F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cn"),
+        )
+    )
+    return refined
+
+
+def ivf_topk(
+    emb: DataFrame, centroid_every: int = 50, n_queries: int = 10, k: int = 3
+) -> DataFrame:
+    """IVF-style ANN: seed centroids (vec_id % centroid_every == 0) refined
+    by one Lloyd iteration; every vector is assigned to its max-cosine
+    centroid (its cell); queries search only their own cell. Returns
+    (q_id, n_id, cell, cos)."""
+    n = with_norm(emb)
+    cents = lloyd_refined_centroids(emb, centroid_every)
+    assigned = _assign_cells(n, cents)
     q = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("vec").alias("qv"),
         F.col("nrm").alias("qn"), "cell",
