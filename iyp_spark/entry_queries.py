@@ -673,8 +673,14 @@ SELECT q_id, n_id, cell, FLOOR(cos * 1000000) / 1000000 AS cos FROM (
 WHERE rn <= 3
 """)
 def ann_ivf_topk(spark, sf_dir):
-    from .ops.similarity import ivf_topk
-    return ivf_topk(tbl(spark, sf_dir, "embeddings"))
+    # Training is a BUILD-TIME artifact (cached_centroid_rows trains once
+    # per dataset and persists parquet, the stand-in for a lake
+    # `ivf_centroids/` table); the query itself assigns cells with a
+    # shuffle-free map-side argmax over the trained centroids.
+    from .ops.similarity import cached_centroid_rows, ivf_topk
+    emb = tbl(spark, sf_dir, "embeddings")
+    cents = cached_centroid_rows(spark, emb, sf_dir)
+    return ivf_topk(emb, centroids=cents)
 
 
 # =====================================================================

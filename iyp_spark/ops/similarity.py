@@ -3,9 +3,27 @@
 - brute-force cosine top-k: the exactness baseline; O(Q×N) — fine when Q is
   small or N fits a broadcast.
 - IVF top-k: the scale path — assign vectors to their nearest of K fixed
-  centroids (one shuffle keyed by centroid), then search only within the
-  query's cell. At 10^9+ vectors K grows ~sqrt(N) and the per-cell search
-  becomes a co-partitioned join instead of a cross product.
+  centroids, then search only within the query's cell. At 10^9+ vectors K
+  grows ~sqrt(N) and the per-cell search becomes a co-partitioned join
+  instead of a cross product.
+
+Training vs querying are SPLIT (the round-2 regression fix):
+
+- `lloyd_refined_centroids` / `build_ivf_artifact` run ONCE at build time
+  and persist the centroid table (a lake artifact beside `nodes/`, like a
+  trained index).
+- `ivf_topk` takes the pre-trained centroids and assigns cells with a
+  SHUFFLE-FREE map-side argmax: the centroid array is inlined as a literal
+  (codegen) column and each row folds over it — no N×K row explosion, no
+  row_number window, no exchange. The only shuffles left in the query are
+  the cell-join and the final per-query top-k rank.
+
+Scale path at 10^9 vectors: K≈sqrt(N)≈30k centroids × 128 dims is a few MB
+— too big for a literal expression but exactly what an Arrow pandas UDF
+with a broadcast numpy matrix handles (one matmul per batch, still
+map-side). The literal-fold form below keeps the arithmetic sequential
+left-to-right, which is what makes the result bit-identical to the DuckDB
+oracle; the numpy variant would be the production swap.
 
 All arithmetic is double (elements cast before multiply), accumulation is
 sequential left-to-right in both Spark (F.aggregate) and DuckDB
@@ -14,7 +32,13 @@ sequential left-to-right in both Spark (F.aggregate) and DuckDB
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import hashlib
+import os
+import tempfile
+
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under PEP 563
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark.sql import Window as W
@@ -60,24 +84,80 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     )
 
 
-def _assign_cells(n: DataFrame, cents: DataFrame) -> DataFrame:
-    """Assign every vector to its max-cosine centroid (broadcast cents)."""
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
-    return (
-        n.join(F.broadcast(cents))
-        .withColumn("ccos", _dot(F.col("vec"), F.col("cv")) / (F.col("nrm") * F.col("cn")))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "vec", "nrm", F.col("c_id").alias("cell"))
+# ---------------------------------------------------------------------------
+# Shuffle-free cell assignment
+# ---------------------------------------------------------------------------
+
+def _argmax_cell(cent_rows) -> F.Column:
+    """Max-cosine centroid id as a pure MAP-SIDE Arrow pandas UDF — no
+    join, no N×K row explosion, no window, no shuffle. The centroid matrix
+    is a numpy closure capture (broadcast to every worker inside the
+    serialized UDF — the production shape for K≈sqrt(N) centroids).
+
+    Exactness contract (what keeps this oracle-checkable): the dot product
+    accumulates SEQUENTIALLY over dimensions — `acc = acc + V[:, d]*c[d]`
+    one dim at a time, vectorized across the Arrow batch rows — which is
+    bit-identical to Spark's F.aggregate fold and DuckDB's
+    list_dot_product (both left-to-right). `cos > best` with strict `>`
+    keeps the FIRST (lowest c_id, rows pre-sorted) centroid on ties,
+    matching `ORDER BY ccos DESC, c_id ASC`. IEEE elementwise numpy ops
+    are deterministic, so the assignment is reproducible across engines.
+    At production K (~30k) the swap is one np.matmul per batch plus an
+    oracle tolerance, trading bit-exactness for ~100x.
+    """
+    import numpy as np
+
+    c_ids = np.asarray([int(r["c_id"]) for r in cent_rows], dtype=np.int64)
+    cmat = np.asarray([[float(x) for x in r["cv"]] for r in cent_rows],
+                      dtype=np.float64)
+    cns = np.asarray([float(r["cn"]) for r in cent_rows], dtype=np.float64)
+
+    @F.pandas_udf("bigint")
+    def cell_of(vec: pd.Series, nrm: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="int64")
+        V = np.stack(vec.to_numpy())          # (B, dim) float64
+        nr = nrm.to_numpy()
+        best = np.full(V.shape[0], -np.inf)
+        best_id = np.full(V.shape[0], -1, dtype=np.int64)
+        for j in range(cmat.shape[0]):
+            cj = cmat[j]
+            acc = np.zeros(V.shape[0])
+            for d in range(V.shape[1]):       # sequential over dims == fold
+                acc = acc + V[:, d] * cj[d]
+            cos = acc / (nr * cns[j])
+            better = cos > best
+            best = np.where(better, cos, best)
+            best_id = np.where(better, c_ids[j], best_id)
+        return pd.Series(best_id)
+
+    return cell_of(F.col("vec"), F.col("nrm"))
+
+
+# ---------------------------------------------------------------------------
+# Build-time training
+# ---------------------------------------------------------------------------
+
+def seed_centroid_rows(emb: DataFrame, centroid_every: int = 50) -> list:
+    """Collect the modulo-sampled seed centroids (K ≈ N/centroid_every —
+    small by construction; at real scale seeds come from a bounded sample)."""
+    n = with_norm(emb)
+    rows = (
+        n.filter(F.col("vec_id") % centroid_every == 0)
+        .select(F.col("vec_id").alias("c_id"), F.col("vec").alias("cv"),
+                F.col("nrm").alias("cn"))
+        .collect()
     )
+    return sorted(rows, key=lambda r: r["c_id"])
 
 
 def lloyd_refined_centroids(
     emb: DataFrame, centroid_every: int = 50
 ) -> DataFrame:
     """One Lloyd (k-means) refinement of the modulo-sampled seed centroids:
-    assign every vector to its nearest seed, then replace each centroid
-    with the element-wise MEAN of its assigned vectors.
+    assign every vector to its nearest seed (map-side argmax — shuffle-free),
+    then replace each centroid with the element-wise MEAN of its assigned
+    vectors.
 
     Engine-portability: each component is floor-quantized to 1e-6 BEFORE
     the mean (integer sums are associative; float sums are not, and
@@ -85,16 +165,15 @@ def lloyd_refined_centroids(
     centroids — and everything downstream — are bit-identical across
     engines.
 
-    Scale path: assignment is a broadcast map-side join (no shuffle of the
-    big side); the mean is one groupBy(cell, dim) after a posexplode —
-    shuffle keyed by (cell, dim), uniform by construction. Further Lloyd
-    iterations are the same two steps repeated."""
+    Scale path: assignment is pure map-side (fold over the broadcast
+    centroid literal, no shuffle at all); the mean is one
+    groupBy(cell, dim) after a posexplode — shuffle keyed by (cell, dim),
+    uniform by construction. Further Lloyd iterations are the same two
+    steps repeated. This runs at BUILD time only; queries read the
+    persisted result (`build_ivf_artifact`)."""
+    seeds = seed_centroid_rows(emb, centroid_every)
     n = with_norm(emb)
-    seeds = n.filter(F.col("vec_id") % centroid_every == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("vec").alias("cv"),
-        F.col("nrm").alias("cn"),
-    )
-    assigned = _assign_cells(n, seeds)
+    assigned = n.withColumn("cell", _argmax_cell(seeds))
     by_dim = assigned.select(
         "cell", F.posexplode(F.col("vec")).alias("i", "x")
     ).select("cell", "i", F.floor(F.col("x") * 1000000).cast("long").alias("xq"))
@@ -117,23 +196,89 @@ def lloyd_refined_centroids(
     return refined
 
 
+def build_ivf_artifact(
+    emb: DataFrame, path: str, centroid_every: int = 50
+) -> None:
+    """Train centroids and persist them as a parquet artifact (the lake's
+    `ivf_centroids/` table, written once beside `nodes/` — queries only
+    read it)."""
+    lloyd_refined_centroids(emb, centroid_every).write.mode("overwrite").parquet(path)
+
+
+def load_centroid_rows(spark: SparkSession, path: str) -> list:
+    """Read the centroid artifact driver-side via pyarrow — K rows don't
+    need a Spark job (on a cluster this is one object-store GET)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    rows: list = []
+    for p in parts:
+        rows.extend(pq.read_table(p).to_pylist())
+    return sorted(rows, key=lambda r: r["c_id"])
+
+
+def cached_centroid_rows(
+    spark: SparkSession, emb: DataFrame, sf_dir: str, centroid_every: int = 50
+) -> list:
+    """Read the trained-centroid artifact for this dataset, training it
+    once if absent. Keyed by (path, size, mtime) of the embeddings input so
+    a regenerated dataset retrains. Stand-in for the lake's `ivf_centroids/`
+    table on a cluster."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        key = f"{os.path.realpath(src)}:{st.st_size}:{st.st_mtime_ns}:{centroid_every}"
+    except OSError:
+        key = f"{sf_dir}:{centroid_every}"
+    digest = hashlib.sha1(key.encode()).hexdigest()[:16]
+    cache = os.environ.get("IYP_IVF_CACHE") or os.path.join(
+        tempfile.gettempdir(), "iyp_ivf_cache"
+    )
+    path = os.path.join(cache, digest)
+    if not os.path.isdir(path):
+        build_ivf_artifact(emb, path, centroid_every)
+    return load_centroid_rows(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# Query time
+# ---------------------------------------------------------------------------
+
 def ivf_topk(
-    emb: DataFrame, centroid_every: int = 50, n_queries: int = 10, k: int = 3
+    emb: DataFrame,
+    centroid_every: int = 50,
+    n_queries: int = 10,
+    k: int = 3,
+    centroids: list | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: seed centroids (vec_id % centroid_every == 0) refined
-    by one Lloyd iteration; every vector is assigned to its max-cosine
-    centroid (its cell); queries search only their own cell. Returns
-    (q_id, n_id, cell, cos)."""
+    """IVF-style ANN over pre-trained centroids: every vector is assigned
+    to its max-cosine centroid (its cell) MAP-SIDE (no shuffle — see
+    `_argmax_cell`); queries search only their own cell. Returns
+    (q_id, n_id, cell, cos).
+
+    `centroids` is the trained artifact (`cached_centroid_rows` /
+    `load_centroid_rows`); if omitted, trains inline (test convenience
+    only — production pays training once at build time)."""
+    if centroids is None:
+        spark = emb.sparkSession
+        centroids = sorted(
+            lloyd_refined_centroids(emb, centroid_every).collect(),
+            key=lambda r: r["c_id"],
+        )
     n = with_norm(emb)
-    cents = lloyd_refined_centroids(emb, centroid_every)
-    assigned = _assign_cells(n, cents)
+    assigned = n.withColumn("cell", _argmax_cell(centroids))
     q = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("vec").alias("qv"),
         F.col("nrm").alias("qn"), "cell",
     )
     w_rank = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
-        q.join(
+        # broadcast the (tiny) query side: the cell-join is then map-side
+        # too — the final rank window over per-cell candidates is the only
+        # exchange in the whole query.
+        F.broadcast(q).join(
             assigned.select(
                 F.col("vec_id").alias("n_id"), F.col("vec").alias("nv"),
                 F.col("nrm").alias("nn"), F.col("cell").alias("ncell"),

@@ -45,6 +45,23 @@ def test_dim_joins_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 3
 
 
+def test_ivf_assignment_is_shuffle_free(spark):
+    """The round-2 scale-killer fence: IVF cell assignment must be a
+    map-side argmax (Arrow UDF over the trained centroids), NOT an N×K
+    expansion ranked through a row_number window. The ONLY window in the
+    whole query is the final per-query top-k rank (one 'Window [' node,
+    with WindowGroupLimit pushdown), and the cell-join broadcasts the tiny
+    query side."""
+    from iyp_spark.entry_queries import QUERIES
+
+    df = QUERIES["ann_ivf_topk"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert plan.count("Window [") == 1, "assignment must not rank through a window"
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan, "map-side argmax UDF missing"
+    assert "BroadcastHashJoin" in plan, "cell-join must broadcast the query side"
+
+
 @pytest.mark.parametrize("qname", sorted(__import__("iyp_spark.entry_queries", fromlist=["QUERIES"]).QUERIES))
 def test_no_per_row_python_in_entry_queries(spark, qname):
     """Every driver-contract query stays Arrow-or-JVM (BatchEvalPython
