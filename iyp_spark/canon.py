@@ -232,17 +232,20 @@ def parse_rfc3339_nano(col: Column) -> Column:
     normalize Z→+00:00, split off the fraction, right-pad/truncate it to
     microseconds, and try_to_timestamp. A stamp with a fraction but no
     timezone suffix fails the extract and yields null (the reference
-    raises + warns)."""
+    raises + warns there); a tz-LESS stamp WITHOUT a fraction parses as
+    UTC — the reference's datetime.fromisoformat accepts that naive form
+    (its fixup only rejects missing-tz when a fraction is present)."""
     norm = F.regexp_replace(F.trim(col), "Z$", "+00:00")
-    pat = r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})(?:\.(\d+))?([+-]\d{2}:\d{2})$"
+    pat = r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})(?:\.(\d+))?([+-]\d{2}:\d{2})?$"
     base = F.regexp_extract(norm, pat, 1)
     frac = F.regexp_extract(norm, pat, 2)
     tz = F.regexp_extract(norm, pat, 3)
     fixed = F.concat(
-        base, F.lit("."), F.rpad(F.substring(frac, 1, 6), 6, "0"), tz
+        base, F.lit("."), F.rpad(F.substring(frac, 1, 6), 6, "0"),
+        F.when(tz != "", tz).otherwise(F.lit("+00:00")),
     )
     return F.when(
-        base != "",
+        (base != "") & ((tz != "") | (frac == "")),
         F.try_to_timestamp(fixed, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
     )
 

@@ -45,6 +45,8 @@ class IhrRov(SparkCrawler):
                 "link_props",
                 F.map_filter(
                     F.create_map(
+                        # the FULL CSV record, like the reference (:118-125)
+                        F.lit("id"), F.col("id").cast("string"),
                         F.lit("timebin"), F.col("timebin"),
                         F.lit("prefix"), F.col("prefix"),
                         F.lit("hege"), F.col("hege").cast("string"),
@@ -53,9 +55,14 @@ class IhrRov(SparkCrawler):
                         F.col("visibility").cast("string"),
                         F.lit("rpki_status"), F.col("rpki_status"),
                         F.lit("irr_status"), F.col("irr_status"),
+                        F.lit("delegated_prefix_status"),
+                        F.col("delegated_prefix_status"),
+                        F.lit("delegated_asn_status"),
+                        F.col("delegated_asn_status"),
                         F.lit("descr"), F.col("descr"),
                         F.lit("moas"), F.col("moas"),
                         F.lit("asn_id"), F.col("asn_id"),
+                        F.lit("country_id"), F.col("country_id"),
                         F.lit("originasn_id"), F.col("originasn_id"),
                     ),
                     lambda k, v: v.isNotNull(),

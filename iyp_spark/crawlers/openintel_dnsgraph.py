@@ -109,23 +109,35 @@ class OpenIntelDnsgraph(SparkCrawler):
         resolves = self.m(rel("RESOLVES_TO", "HOSTNAME", "IP"))
 
         # CNAME closure: ips flow from resolving names up the reversed
-        # alias edges (recurse_cnames, :476-484)
+        # alias edges (recurse_cnames, :476-484). The SEEN set is seeded
+        # with the direct (name, ip) resolves pairs — the reference seeds
+        # processed_cnames with the start name (:482), so a name that
+        # resolves directly must never re-enter through an alias cycle
+        # and pick up a spurious source=CNAME link for an ip it already
+        # resolves to.
         aliases = alias_of.select(F.col("src").alias("alias"),
                                   F.col("dst").alias("target")).distinct()
+        direct = (
+            resolves.select(F.col("src").alias("name"),
+                            F.col("dst").alias("ip"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         acc = self.spark.createDataFrame([], "name string, ip string")
-        frontier = resolves.select(F.col("src").alias("name"),
-                                   F.col("dst").alias("ip")).distinct()
+        seen = direct  # excluded from emission, blocks cycle re-entry
+        frontier = direct
         for _ in range(MAX_CHAIN):
             step = (
                 aliases.join(frontier, aliases.target == frontier.name)
                 .select(F.col("alias").alias("name"), "ip")
                 .distinct()
-                .join(acc, ["name", "ip"], "left_anti")
+                .join(seen, ["name", "ip"], "left_anti")
                 .localCheckpoint(eager=True)  # cut the growing lineage
             )
             if step.isEmpty():
                 break
-            acc = acc.unionByName(step).localCheckpoint(eager=True)
+            seen = seen.unionByName(step).localCheckpoint(eager=True)
+            acc = acc.unionByName(step)
             frontier = step
         cname_links = acc.withColumn(
             "props", F.create_map(F.lit("source"), F.lit("CNAME"))

@@ -295,13 +295,25 @@ def derive_nodes_from_triples(store: GraphStore, count_rows: bool = True) -> int
 
 def run_pipeline_batched(store: GraphStore, crawlers: list[type[SparkCrawler]],
                          count_rows: bool = True,
-                         nodes_from_triples: bool = False) -> dict:
+                         nodes_from_triples: bool = False,
+                         resume: bool = False,
+                         fail_after: int | None = None) -> dict:
     """Throughput path: run every crawler's transform lazily, union all node
     and triple outputs, and materialize with ONE dictionary merge and ONE
     partitioned triples write — collapsing per-crawler job overhead into a
     single shuffle per table. This is the shape of the production weekly
-    build; the per-crawler `run_pipeline` loop is the checkpointed/resumable
-    path (use it when you need partition-level restart)."""
+    build.
+
+    ``resume=True`` makes THIS path restartable too (north-rule
+    resumability on the production path, not only the sequential loop):
+    crawlers whose 'materialize' lineage record exists are dropped from the
+    batch, so their already-written triple partitions are never recomputed
+    or rewritten. Completion is recorded per crawler AS its partition write
+    lands (the threaded wave-1 writes each log their own lineage row —
+    lineage rows are one-file-per-call, so concurrent logging is safe);
+    the node dictionary is re-derived/upserted idempotently on restart.
+    ``fail_after`` injects a crash after N wave-1 partition writes for the
+    kill/resume test."""
     # crawlers that read the node dictionary (S8 seed scans) must see the
     # previous waves' output on disk. WAVE declares the scheduling tier:
     # 1 = no graph reads; 2 = reads wave-1 output; 3 = reads output of
@@ -310,6 +322,9 @@ def run_pipeline_batched(store: GraphStore, crawlers: list[type[SparkCrawler]],
     def _wave(c) -> int:
         return getattr(c, "WAVE", 2 if getattr(c, "NEEDS_EXISTING", False) else 1)
 
+    done = store.completed_crawlers() if resume else set()
+    skipped = [c.NAME for c in crawlers if c.NAME in done]
+    crawlers = [c for c in crawlers if c.NAME not in done]
     wave1 = [c for c in crawlers if _wave(c) == 1]
     later_waves = [
         [c for c in crawlers if _wave(c) == w]
@@ -347,24 +362,45 @@ def run_pipeline_batched(store: GraphStore, crawlers: list[type[SparkCrawler]],
         # one write job per crawler partition, submitted from concurrent
         # driver threads: query planning/codegen (driver-serial otherwise)
         # overlaps executor compute, and each job only writes its own
-        # reference_name partition (concurrent-safe: per-job staging dirs)
+        # reference_name partition (concurrent-safe: per-job staging dirs).
+        # Each write logs ITS OWN completion record the moment it lands —
+        # the resume anchor for a mid-wave crash.
         from concurrent.futures import ThreadPoolExecutor
 
         def _write_one(item):
             name, df = item
-            return store.replace_triples(name, df, count_rows=count_rows)
+            n = store.replace_triples(name, df, count_rows=count_rows)
+            store.log_lineage(name, "materialize", n if count_rows else -1,
+                              _time.time() - t0, run_id=run_id)
+            return n
 
-        with ThreadPoolExecutor(max_workers=min(4, len(per_crawler_triples))) as ex:
-            counts = list(ex.map(_write_one, per_crawler_triples.items()))
-        n_triples = sum(counts) if count_rows else -1
+        n_triples = 0
+        if fail_after is not None:
+            # deterministic kill/resume test mode: sequential writes, crash
+            # after exactly `fail_after` completed partitions
+            written = 0
+            for item in per_crawler_triples.items():
+                if written >= fail_after:
+                    raise RuntimeError("injected failure for resume test")
+                n_triples += _write_one(item)
+                written += 1
+        elif per_crawler_triples:
+            with ThreadPoolExecutor(
+                max_workers=min(4, len(per_crawler_triples))
+            ) as ex:
+                counts = list(ex.map(_write_one, per_crawler_triples.items()))
+            n_triples = sum(counts) if count_rows else -1
         n_nodes = derive_nodes_from_triples(store, count_rows=count_rows)
     else:
-        n_nodes = store.upsert_nodes(all_nodes, count_rows=count_rows)
-        n_triples = store.replace_triples_multi(all_triples, count_rows=count_rows)
+        n_nodes = store.upsert_nodes(all_nodes, count_rows=count_rows) \
+            if all_nodes is not None else 0
+        n_triples = store.replace_triples_multi(
+            all_triples, count_rows=count_rows) if all_triples is not None else 0
+        for name in names:
+            store.log_lineage(name, "materialize", n_triples,
+                              _time.time() - t0, run_id=run_id)
     dt = _time.time() - t0
     store.spark.catalog.clearCache()  # drop persisted mention sets
-    for name in names:
-        store.log_lineage(name, "materialize", n_triples, dt, run_id=run_id)
     # ---- later waves: crawlers that read the already-built graph ----
     # Per wave: materialize every transform first (they read dictionary /
     # triple partitions the writes below will replace), then merge ALL the

@@ -19,11 +19,12 @@ Training vs querying are SPLIT (the round-2 regression fix):
   the cell-join and the final per-query top-k rank.
 
 Scale path at 10^9 vectors: K≈sqrt(N)≈30k centroids × 128 dims is a few MB
-— too big for a literal expression but exactly what an Arrow pandas UDF
-with a broadcast numpy matrix handles (one matmul per batch, still
-map-side). The literal-fold form below keeps the arithmetic sequential
-left-to-right, which is what makes the result bit-identical to the DuckDB
-oracle; the numpy variant would be the production swap.
+— an Arrow pandas UDF with the centroid matrix captured in the closure
+(shipped once per worker), evaluated map-side per batch. The per-dim
+sequential accumulation in `_argmax_cell` keeps the arithmetic identical
+to a left-to-right fold, which is what makes the result bit-exact vs the
+DuckDB oracle; at production K the swap is one np.matmul per batch plus an
+oracle tolerance.
 
 All arithmetic is double (elements cast before multiply), accumulation is
 sequential left-to-right in both Spark (F.aggregate) and DuckDB

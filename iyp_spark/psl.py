@@ -18,10 +18,23 @@ so classification is a pure projection pipeline with zero shuffles:
 - no match → no public suffix → registered_domain is null (tldextract
   returns '' rather than applying the PSL's implicit '*' rule).
 
-``PSL_SNAPSHOT`` is a frozen subset of the public list (publicsuffix.org,
-public domain data) — enough to exercise every rule kind (exact,
-multi-label, wildcard, exception); production swaps in the full list, which
-still broadcasts (≈10k rows) without changing the plan shape.
+``PSL_ICANN`` / ``PSL_PRIVATE`` form an offline snapshot of the public list
+(publicsuffix.org, public domain data): all ccTLDs + common gTLDs, the
+widely-used ccTLD second-level registries (uk au jp br cn us ca …), the
+full-TLD wildcards (*.bd *.ck …), the jp designated-city
+wildcard+exception pairs and geographic 3-label rules, the US k12/cc/lib
+state hierarchies, and the high-traffic PRIVATE-section hosting suffixes
+(s3/compute.amazonaws.com, github.io, blogspot, azurewebsites, pages.dev,
+…). Every rule kind and every depth (1-5 labels) in the real list is
+exercised; swapping in the byte-complete published file is a data-only
+change (the full ≈10k rows still broadcast without changing the plan
+shape, and ``MAX_K`` is derived from the data).
+
+tldextract parity: the reference's ``tldextract.extract`` DEFAULT excludes
+the PSL private section, so ``include_private=False`` (the default here)
+matches cisco/umbrella_top1m.py:99-104 and post/url2hostname.py:26-29;
+pass ``include_private=True`` for private-aware classification (the
+tldextract ``include_psl_private_domains=True`` mode).
 
 The straight-line ``py_registered_domain`` mirror is the golden oracle used
 by tests — same data, independent implementation.
@@ -32,87 +45,176 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-PSL_SNAPSHOT = """
+PSL_ICANN = """
 com net org io info biz dev app xyz online site club shop edu gov mil int
+arpa aero asia cat coop jobs mobi museum name post pro tel travel xxx
+cloud digital live media news store tech today top vip wiki work zone
+agency art blog cafe chat city codes company cool design email energy
+estate events expert family finance fitness fun fund gallery games global
+gold group guru health help host house institute international land legal
+life link lol love ltd market marketing money movie network ninja one
+page partners party photo photography pics pictures pizza place plus
+press productions pub red rocks run sale school science services show
+social software solutions space sport studio style support systems tax
+team technology tips tools tours town toys trade training university
+video vision watch website wedding win wine works world wtf yoga
 ac ad ae af ag ai al am ao aq ar at au aw ax az ba bb be bf bg bh bi bj bm
 bn bo br bs bt bw by bz ca cc cd cf cg ch ci cl cm cn co cr cu cv cw cx cy
-cz de dj dk dm do dz ec ee eg es et eu fi fj fk fm fo fr ga gb gd ge gg gh
+cz de dj dk dm do dz ec ee eg es et eu fi fj fm fo fr ga gb gd ge gg gh
 gi gl gm gn gq gr gs gt gu gw gy hk hm hn hr ht hu id ie il im in iq ir is
-it je jm jo jp ke kg kh ki km kn kp kr kw ky kz la lb lc li lk lr ls lt lu
+it je jo jp ke kg ki km kn kp kr kw ky kz la lb lc li lk lr ls lt lu
 lv ly ma mc md me mg mh mk ml mm mn mo mp mq mr ms mt mu mv mw mx my mz na
-nc ne nf ng ni nl no np nr nu nz om pa pe pf pg ph pk pl pm pn pr ps pt pw
+nc ne nf ng ni nl no np nr nu nz om pa pe pf ph pk pl pm pn pr ps pt pw
 py qa re ro rs ru rw sa sb sc sd se sg sh si sk sl sm sn so sr ss st sv sx
 sy sz tc td tf tg th tj tk tl tm tn to tr tt tv tw tz ua ug uk us uy uz va
 vc ve vg vi vn vu wf ws ye yt za zm zw
-co.uk org.uk ac.uk gov.uk net.uk sch.uk me.uk ltd.uk plc.uk
+*.bd *.ck !www.ck *.er *.fk *.jm *.kh *.mm *.np *.pg
+co.uk org.uk ac.uk gov.uk net.uk sch.uk me.uk ltd.uk plc.uk nhs.uk
+police.uk
 com.au net.au org.au edu.au gov.au asn.au id.au
+act.edu.au nsw.edu.au qld.edu.au vic.edu.au
 co.jp ne.jp or.jp ac.jp ad.jp ed.jp go.jp gr.jp lg.jp
+hokkaido.jp aomori.jp iwate.jp miyagi.jp akita.jp yamagata.jp fukushima.jp
+ibaraki.jp tochigi.jp gunma.jp saitama.jp chiba.jp tokyo.jp kanagawa.jp
+niigata.jp toyama.jp ishikawa.jp fukui.jp yamanashi.jp nagano.jp gifu.jp
+shizuoka.jp aichi.jp mie.jp shiga.jp kyoto.jp osaka.jp hyogo.jp nara.jp
+wakayama.jp tottori.jp shimane.jp okayama.jp hiroshima.jp yamaguchi.jp
+tokushima.jp kagawa.jp ehime.jp kochi.jp fukuoka.jp saga.jp nagasaki.jp
+kumamoto.jp oita.jp miyazaki.jp kagoshima.jp okinawa.jp
+*.kawasaki.jp !city.kawasaki.jp
+*.kitakyushu.jp !city.kitakyushu.jp
+*.kobe.jp !city.kobe.jp
+*.nagoya.jp !city.nagoya.jp
+*.sapporo.jp !city.sapporo.jp
+*.sendai.jp !city.sendai.jp
+*.yokohama.jp !city.yokohama.jp
+chiyoda.tokyo.jp shinjuku.tokyo.jp minato.tokyo.jp shibuya.tokyo.jp
+setagaya.tokyo.jp suginami.tokyo.jp naha.okinawa.jp
 com.br net.br org.br gov.br edu.br
 com.cn net.cn org.cn gov.cn edu.cn ac.cn
 co.in net.in org.in firm.in gen.in ind.in
-co.za net.za org.za gov.za web.za
+co.za net.za org.za gov.za web.za ac.za edu.za law.za mil.za nom.za
+school.za
 com.mx org.mx net.mx gob.mx edu.mx
 com.ar net.ar org.ar gob.ar edu.ar
 com.tr net.tr org.tr gov.tr edu.tr
 co.kr ne.kr or.kr re.kr go.kr ac.kr
 com.sg net.sg org.sg edu.sg gov.sg
 com.hk net.hk org.hk edu.hk gov.hk
-co.nz net.nz org.nz govt.nz ac.nz school.nz
+co.nz net.nz org.nz govt.nz ac.nz school.nz geek.nz gen.nz kiwi.nz
+maori.nz
 co.id net.id or.id web.id ac.id
 com.tw net.tw org.tw edu.tw gov.tw
 co.th in.th ac.th go.th or.th
 com.my net.my org.my edu.my gov.my
 co.il net.il org.il ac.il gov.il
 com.eg net.eg org.eg edu.eg gov.eg
-act.edu.au nsw.edu.au qld.edu.au vic.edu.au
-*.ck !www.ck
-*.kawasaki.jp !city.kawasaki.jp
+com.co net.co org.co nom.co edu.co gov.co
+com.ua net.ua org.ua edu.ua gov.ua in.ua kiev.ua
+com.ph net.ph org.ph edu.ph gov.ph
+com.vn net.vn org.vn edu.vn gov.vn
+com.pk net.pk org.pk edu.pk gov.pk
+com.ng net.ng org.ng edu.ng gov.ng
+co.ke or.ke ne.ke go.ke ac.ke sc.ke
+com.gh edu.gh gov.gh org.gh
+com.sa net.sa org.sa edu.sa gov.sa med.sa pub.sa
+co.ae net.ae org.ae ac.ae gov.ae
+com.qa net.qa org.qa edu.qa gov.qa
+com.lb net.lb org.lb edu.lb gov.lb
+com.jo net.jo org.jo edu.jo gov.jo
+com.pe net.pe org.pe edu.pe gob.pe nom.pe
+gob.cl gov.cl
+com.uy net.uy org.uy edu.uy gub.uy
+com.py coop.py edu.py gov.py net.py org.py
+com.bo net.bo org.bo edu.bo gob.bo
+com.ec net.ec org.ec edu.ec gob.ec fin.ec med.ec pro.ec info.ec
+com.ve net.ve org.ve edu.ve gob.ve info.ve web.ve
+com.gt net.gt org.gt edu.gt gob.gt ind.gt mil.gt
+com.do net.do org.do edu.do gob.do gov.do web.do mil.do sld.do
+com.pr net.pr org.pr gov.pr edu.pr isla.pr pro.pr biz.pr info.pr name.pr
+ab.ca bc.ca mb.ca nb.ca nf.ca nl.ca ns.ca nt.ca nu.ca on.ca pe.ca qc.ca
+sk.ca yk.ca gc.ca
+ak.us al.us ar.us az.us ca.us co.us ct.us dc.us de.us fl.us ga.us hi.us
+ia.us id.us il.us in.us ks.us ky.us la.us ma.us md.us me.us mi.us mn.us
+mo.us ms.us mt.us nc.us nd.us ne.us nh.us nj.us nm.us nv.us ny.us oh.us
+ok.us or.us pa.us ri.us sc.us sd.us tn.us tx.us ut.us va.us vt.us wa.us
+wi.us wv.us wy.us
+k12.ca.us k12.ny.us k12.tx.us k12.fl.us k12.il.us k12.pa.us k12.oh.us
+k12.ma.us k12.wa.us k12.mi.us cc.ca.us cc.ny.us cc.tx.us lib.ca.us
+lib.ny.us lib.tx.us
 """.split()
+
+PSL_PRIVATE = """
+s3.amazonaws.com s3-website-us-east-1.amazonaws.com
+s3.dualstack.us-east-1.amazonaws.com
+*.compute.amazonaws.com *.compute-1.amazonaws.com *.elb.amazonaws.com
+elasticbeanstalk.com awsglobalaccelerator.com cloudfront.net
+github.io githubusercontent.com gitlab.io
+herokuapp.com herokussl.com
+blogspot.com blogspot.co.uk blogspot.de blogspot.fr blogspot.jp
+blogspot.com.br blogspot.in blogspot.mx
+appspot.com googleapis.com run.app web.app firebaseapp.com
+azurewebsites.net cloudapp.net cloudapp.azure.com azurestaticapps.net
+pages.dev workers.dev trycloudflare.com
+netlify.app vercel.app now.sh onrender.com fly.dev up.railway.app
+global.ssl.fastly.net global.prod.fastly.net
+readthedocs.io surge.sh ngrok.io
+ddns.net duckdns.org hopto.org dyndns.org no-ip.com
+""".split()
+
+PSL_SNAPSHOT = PSL_ICANN + PSL_PRIVATE  # back-compat alias (full rule set)
 
 MAX_K = max(r.lstrip("!").count(".") + 1 for r in PSL_SNAPSHOT)
 
-# (rule_labels_tuple, kind) — kind: 'exact' | 'wildcard' | 'exception'
+# (rule_labels_tuple, kind, private) — kind: 'exact'|'wildcard'|'exception'
 _PARSED = []
-for _r in PSL_SNAPSHOT:
+for _r, _priv in [(r, False) for r in PSL_ICANN] + [(r, True) for r in PSL_PRIVATE]:
     if _r.startswith("!"):
-        _PARSED.append((tuple(_r[1:].split(".")), "exception"))
+        _PARSED.append((tuple(_r[1:].split(".")), "exception", _priv))
     elif _r.startswith("*."):
-        _PARSED.append((tuple(_r.split(".")), "wildcard"))
+        _PARSED.append((tuple(_r.split(".")), "wildcard", _priv))
     else:
-        _PARSED.append((tuple(_r.split(".")), "exact"))
+        _PARSED.append((tuple(_r.split(".")), "exact", _priv))
 
 
 # ---------------------------------------------------------------- python
 # golden-oracle mirror of the PSL algorithm (and of tldextract's behavior
 # for unlisted TLDs: no implicit '*' rule)
 
-_EXACT = {r for r, k in _PARSED if k == "exact"}
-_WILD = {r for r, k in _PARSED if k == "wildcard"}       # ('*', 'ck')
-_EXC = {r for r, k in _PARSED if k == "exception"}
+def _rule_sets(include_private: bool):
+    keep = (lambda p: True) if include_private else (lambda p: not p)
+    exact = {r for r, k, p in _PARSED if k == "exact" and keep(p)}
+    wild = {r for r, k, p in _PARSED if k == "wildcard" and keep(p)}
+    exc = {r for r, k, p in _PARSED if k == "exception" and keep(p)}
+    return exact, wild, exc
 
 
-def py_public_suffix(name: str) -> str | None:
+_SETS = {False: _rule_sets(False), True: _rule_sets(True)}
+
+
+def py_public_suffix(name: str, include_private: bool = False) -> str | None:
     """Number of labels the public suffix of ``name`` spans, as the suffix
     string; None when no rule matches."""
+    exact, wild, exc = _SETS[include_private]
     labels = name.lower().split(".")
     best = None  # (is_exception, n_labels)
     for k in range(1, min(len(labels), MAX_K) + 1):
         cand = tuple(labels[-k:])
-        if cand in _EXC:
+        if cand in exc:
             return ".".join(cand[1:])  # exception wins immediately
-        if cand in _EXACT or (("*",) + cand[1:]) in _WILD:
+        if cand in exact or (("*",) + cand[1:]) in wild:
             if best is None or k > best:
                 best = k
     return ".".join(labels[-best:]) if best else None
 
 
-def py_registered_domain(name: str) -> str | None:
+def py_registered_domain(name: str, include_private: bool = False) -> str | None:
     """tldextract.extract(name).registered_domain (lower-cased); None when
     there is no suffix or no domain label left of it."""
     if not name:
         return None
     lower = name.lower()
-    suffix = py_public_suffix(lower)
+    suffix = py_public_suffix(lower, include_private)
     if suffix is None:
         return None
     n_suffix = suffix.count(".") + 1
@@ -122,23 +224,24 @@ def py_registered_domain(name: str) -> str | None:
     return ".".join(labels[-(n_suffix + 1):])
 
 
-def py_fqdn(name: str) -> str | None:
+def py_fqdn(name: str, include_private: bool = False) -> str | None:
     """tldextract.extract(name).fqdn: the name itself iff it has both a
     suffix and a domain label."""
-    return name.lower() if py_registered_domain(name) else None
+    return name.lower() if py_registered_domain(name, include_private) else None
 
 
 # ---------------------------------------------------------------- spark
 
-def _dim(spark: SparkSession, k: int) -> DataFrame | None:
+def _dim(spark: SparkSession, k: int,
+         include_private: bool = False) -> DataFrame | None:
     """Rules whose match key has exactly k labels, as a broadcast dim:
     (psl_key, psl_suffix_labels). Exception rules match on their literal
     labels but yield a suffix one label shorter; wildcard rules match on
     the '*.'-key. Exceptions get priority via negative encoding resolved
     by the caller."""
     rows = []
-    for labels, kind in _PARSED:
-        if len(labels) != k:
+    for labels, kind, priv in _PARSED:
+        if len(labels) != k or (priv and not include_private):
             continue
         key = ".".join(labels)
         if kind == "exception":
@@ -151,12 +254,16 @@ def _dim(spark: SparkSession, k: int) -> DataFrame | None:
 
 
 def with_registered_domain(
-    df: DataFrame, name_col: str, out_col: str = "registered_domain"
+    df: DataFrame, name_col: str, out_col: str = "registered_domain",
+    include_private: bool = False,
 ) -> DataFrame:
     """Add ``out_col`` (and ``public_suffix``) computed from ``name_col``.
 
     MAX_K broadcast left joins (one per candidate depth) + one projection;
     no shuffle, no UDF — survives any input cardinality.
+    ``include_private=False`` (default) matches the reference's tldextract
+    defaults; True additionally treats PSL private-section hosting
+    suffixes (s3.amazonaws.com, github.io, …) as public suffixes.
     """
     spark = df.sparkSession
     lower = F.lower(F.col(name_col))
@@ -170,7 +277,7 @@ def with_registered_domain(
                    F.concat_ws(".", F.lit("*"), F.slice(labels, n - k + 2, F.lit(k - 1))))
             if k >= 2 else F.lit(None).cast("string")
         )
-        dim = _dim(spark, k)
+        dim = _dim(spark, k, include_private)
         if dim is None:
             continue
         dim_d = dim.withColumnRenamed("psl_key", f"_pk{k}").withColumnRenamed(

