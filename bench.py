@@ -64,12 +64,19 @@ def run_headline(sf_dir: str, cores: int) -> tuple[dict[str, float], dict[str, f
     return timings, build
 
 
-def run_scaling(kg_scale: float, repeats: int = 2) -> dict:
+def run_scaling(kg_scale: float, repeats: int = 3) -> dict:
     """Generate one corpus (distributed synthesizer), run the identical
-    pipeline at N=8 and 4N=32 cores in fresh, CPU-PINNED subprocesses
+    pipeline at N=2 and 4N=8 cores in fresh, CPU-PINNED subprocesses
     (taskset bounds the JVM's internal threads and the Python UDF workers,
-    so each run really is an N-core machine), best-of-`repeats` per level
-    to reject interference on the shared VM."""
+    so each run really is an N-core machine).
+
+    Noise policy (SYMMETRIC — applied whether a round looks good or bad):
+    each round is classified quiet/loud from objective signals measured
+    inside the run — hypervisor steal time on the pinned CPUs and the
+    pair's process-tree CPU work ratio. Loud rounds are dropped (up to two
+    replacement rounds are run); the HEADLINE is the MEDIAN matched-pair
+    efficiency of the quiet rounds. No round is retried or kept based on
+    the efficiency value itself."""
     import shutil
 
     from iyp_spark.fixtures_spark import generate_corpus
@@ -127,39 +134,49 @@ def run_scaling(kg_scale: float, repeats: int = 2) -> dict:
             (runs[8][r]["docs_per_sec"] / runs[2][r]["docs_per_sec"]) / 4.0, 3
         )
 
-    # Contention-aware retry: the plan is work-conserving, so on a quiet
-    # host the per-round CPU work ratio (8-core JVM CPU / 2-core JVM CPU
-    # for the identical job) measures 1.0-1.3; external neighbor load
-    # inflates the 8-core burn and pushes the ratio to 1.5+ (observed
-    # 1.53-1.62 in loud windows — see BENCH.md caveat). If EVERY round is
-    # below the 0.8 target AND every round carries that loud signature,
-    # run ONE extra round rather than publish a neighbor-noise artifact;
-    # if any quiet round still missed 0.8, the plan is the problem and no
-    # retry happens. Bounded: at most one retry.
-    def cpu_ratio(r: int) -> float | None:
-        a, b = runs[2][r].get("cpu_seconds"), runs[8][r].get("cpu_seconds")
-        return (b / a) if a and b else None
+    def tree_ratio(r: int) -> float | None:
+        a = runs[2][r].get("tree_cpu_seconds") or runs[2][r].get("cpu_seconds")
+        b = runs[8][r].get("tree_cpu_seconds") or runs[8][r].get("cpu_seconds")
+        return round(b / a, 3) if a and b else None
+
+    def is_quiet(r: int) -> bool:
+        """Objective, DIRECTION-BLIND loudness test: hypervisor steal on
+        the pinned CPUs (anything over 2% of cpu-time means a neighbor was
+        scheduled on our cores) or a process-tree CPU work ratio far from
+        1.0 in EITHER direction (the plan is work-conserving, so a pair
+        whose 4N run burned wildly more — or less — CPU for identical work
+        sampled a distorted window). The efficiency value plays no part."""
+        for c in (2, 8):
+            if runs[c][r].get("steal_fraction", 0.0) > 0.02:
+                return False
+        tr = tree_ratio(r)
+        return tr is None or 0.7 <= tr <= 1.4
 
     n_rounds = repeats
-    if all(eff_of(r) < 0.8 for r in range(n_rounds)):
-        ratios = [cpu_ratio(r) for r in range(n_rounds)]
-        if all(x is not None and x > 1.4 for x in ratios):
-            print("  scaling: all rounds <0.8 with contended-CPU signature "
-                  f"(work ratios {ratios}); one retry round", file=sys.stderr)
-            one_round(n_rounds)
-            n_rounds += 1
+    extra_budget = 2
+    while extra_budget and sum(is_quiet(r) for r in range(n_rounds)) < 2:
+        print(f"  scaling: only {sum(is_quiet(r) for r in range(n_rounds))} "
+              f"quiet rounds of {n_rounds} (steal/work-ratio signature); "
+              "running a replacement round", file=sys.stderr)
+        one_round(n_rounds)
+        n_rounds += 1
+        extra_budget -= 1
 
     # MATCHED-PAIR efficiency: each interleaved round (one local[2] run
     # followed immediately by one local[8] run) samples the same noise
     # window, so the ratio within a round is the clean N→4N measurement.
-    # Cross-pairing per-level minima (best local[2] from one window vs
-    # best local[8] from another) mixes windows and can skew the ratio
-    # either way on this 1.5-2x-variance VM. All rounds are reported;
-    # the headline is the best matched pair.
+    # The headline is the MEDIAN over quiet rounds — never the best, so a
+    # lucky contended round can't inflate the artifact (and an unlucky one
+    # can't sink it). All rounds and the quiet mask are in the JSON.
+    import statistics
+
     eff_rounds = [eff_of(r) for r in range(n_rounds)]
-    best_r = max(range(n_rounds), key=lambda r: eff_rounds[r])
-    out = {2: runs[2][best_r], 8: runs[8][best_r]}
-    eff = eff_rounds[best_r]
+    quiet_mask = [is_quiet(r) for r in range(n_rounds)]
+    quiet_rs = [r for r in range(n_rounds) if quiet_mask[r]] or list(range(n_rounds))
+    eff = round(statistics.median(eff_rounds[r] for r in quiet_rs), 3)
+    # detail rows come from the quiet round closest to the median value
+    med_r = min(quiet_rs, key=lambda r: abs(eff_rounds[r] - eff))
+    out = {2: runs[2][med_r], 8: runs[8][med_r]}
     res = {
         "localN_cores": 2,
         "local4N_cores": 8,
@@ -170,20 +187,28 @@ def run_scaling(kg_scale: float, repeats: int = 2) -> dict:
         "docs": out[2]["docs"],
         "triples": out[2]["triples"],
         "efficiency_N_to_4N": eff,
+        "efficiency_policy": "median of quiet matched rounds "
+                             "(loudness = steal>2% or tree-CPU ratio "
+                             "outside [0.7,1.4]; direction-blind)",
         "efficiency_per_round": eff_rounds,
+        "quiet_rounds": quiet_mask,
+        "headline_round": med_r,
         "all_rounds": {str(c): v for c, v in runs.items()},
     }
     if "cpu_seconds" in out[2] and "cpu_seconds" in out[8]:
-        # work conservation: total CPU burned per level. ~1.0 ratio means
-        # the 4N plan does no extra work — any wall-clock efficiency gap
-        # below that ratio is host frequency/cache contention, not a
-        # serialized plan.
+        # work conservation: total CPU burned per level (whole process
+        # tree: JVM + Arrow python workers). ~1.0 ratio means the 4N plan
+        # does no extra work — any wall-clock efficiency gap below that
+        # ratio is host frequency/cache contention, not a serialized plan.
         res["localN_cpu_seconds"] = out[2]["cpu_seconds"]
         res["local4N_cpu_seconds"] = out[8]["cpu_seconds"]
         res["cpu_work_ratio_4N_over_N"] = round(
             out[8]["cpu_seconds"] / out[2]["cpu_seconds"], 3)
+        res["tree_cpu_work_ratio_4N_over_N"] = tree_ratio(med_r)
         res["localN_cpu_busy_fraction"] = out[2].get("cpu_busy_fraction")
         res["local4N_cpu_busy_fraction"] = out[8].get("cpu_busy_fraction")
+        res["localN_steal_seconds"] = out[2].get("steal_seconds")
+        res["local4N_steal_seconds"] = out[8].get("steal_seconds")
     return res
 
 
@@ -284,13 +309,17 @@ def _write_bench_md(result: dict) -> None:
         f"| {s.get('local4N_docs_per_sec')} |",
         "",
         f"**Scaling efficiency N→4N: {s.get('efficiency_N_to_4N')}** (speedup / 4;",
-        f"best MATCHED interleaved round — one local[2] run and the local[8] run",
-        f"sampled in the same noise window; per-round: {s.get('efficiency_per_round')}).",
+        "MEDIAN over quiet matched interleaved rounds — a round is loud, and",
+        "dropped, on objective direction-blind signals only: >2% hypervisor",
+        "steal on the pinned CPUs, or a process-tree CPU work ratio outside",
+        f"[0.7, 1.4]. Per-round: {s.get('efficiency_per_round')},",
+        f"quiet mask: {s.get('quiet_rounds')}.",
         "",
         "Subprocesses are taskset-pinned to exactly N / 4N CPUs (an unpinned",
         "'local[2]' JVM runs GC/JIT/shuffle helpers on all host cores and",
-        "understates efficiency). JVM CPU sampled from /proc around the",
-        "timed window:",
+        "understates efficiency). Each run warms the FULL pipeline on a 5%",
+        "slice first (JIT/codegen/python-worker spin-up outside the window).",
+        "JVM CPU sampled from /proc around the timed window:",
         "",
         "| parallelism | cpu (s) | busy fraction |", "|---|---|---|",
         f"| local[{s.get('localN_cores')}] | {s.get('localN_cpu_seconds')} "

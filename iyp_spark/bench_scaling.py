@@ -27,6 +27,8 @@ def main():
 
     import os
 
+    from pyspark.sql import functions as F
+
     from .crawlers import BENCH_CRAWLERS as CRAWLER_ORDER
     from .framework import run_pipeline_batched
     from .session import get_spark
@@ -43,10 +45,19 @@ def main():
     # AQE off for the probe: its per-stage driver re-planning is serial
     # time that is constant across core counts.
     local_dir = os.path.join(os.path.dirname(args.lake) or "/tmp", "spark_local")
+    conf = {"spark.local.dir": local_dir,
+            "spark.sql.adaptive.enabled": "false",
+            # kill the scheduler's 3s locality pause (meaningless in local
+            # mode, real tail time at stage boundaries) and split inputs
+            # finely: per-crawler parse stages are Arrow-python-heavy, so
+            # a coarse 8-task stage leaves cores idle behind its slowest
+            # task at 4N while 2N hides the tail under other work
+            "spark.locality.wait": "0s",
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "1m"}
+    conf.update(json.loads(os.environ.get("IYP_SPARK_EXTRA_CONF", "{}")))
     spark = get_spark(f"bench_scaling_{args.cores}", cores=args.cores,
-                      shuffle_partitions=64,
-                      extra_conf={"spark.local.dir": local_dir,
-                                  "spark.sql.adaptive.enabled": "false"})
+                      shuffle_partitions=64, extra_conf=conf)
     store = GraphStore(spark, args.lake)
 
     # stage corpus into the lake (not timed: input is identical by design)
@@ -54,8 +65,25 @@ def main():
     store.write_documents(docs)
     n_docs = store.read_documents().count()
 
-    # warm the JVM/codegen so we measure the job, not first-run compilation
-    store.read_documents().limit(10).count()
+    # FULL-PIPELINE warm-up on a ~5% slice (not timed): runs every stage of
+    # the identical plan once, so whole-stage-codegen compilation, C2 JIT,
+    # shuffle/netty buffers, and the Arrow python workers are all warm
+    # before the measured window. Without this the first-run JIT/compile
+    # CPU lands inside the measurement and varies run-to-run (observed
+    # ±20% tree-CPU variance on the 4N side at steal=0), which is exactly
+    # the noise the matched-pair efficiency artifact then inherits.
+    warm_lake = args.lake + "_warm"
+    shutil.rmtree(warm_lake, ignore_errors=True)
+    warm_store = GraphStore(spark, warm_lake)
+    warm_store.write_documents(
+        docs.filter(F.xxhash64("doc_id") % 20 == 0)
+    )
+    run_pipeline_batched(warm_store, CRAWLER_ORDER, count_rows=False,
+                         nodes_from_triples=True)
+    shutil.rmtree(warm_lake, ignore_errors=True)
+
+    clk = os.sysconf("SC_CLK_TCK")
+    jvm_pid = spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
 
     def jvm_cpu_seconds() -> float:
         """utime+stime of the local-mode JVM from /proc — the CPU the
@@ -63,17 +91,77 @@ def main():
         CPU per doc should be ~flat across core counts; a wall-clock
         efficiency dip with flat CPU is host frequency/cache contention,
         not a serialized plan."""
-        pid = spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
-        with open(f"/proc/{pid}/stat") as f:
+        with open(f"/proc/{jvm_pid}/stat") as f:
             rest = f.read().rsplit(")", 1)[1].split()
-        return (int(rest[11]) + int(rest[12])) / os.sysconf("SC_CLK_TCK")
+        return (int(rest[11]) + int(rest[12])) / clk
+
+    def tree_cpu_seconds() -> float:
+        """CPU of the WHOLE process tree (this driver + JVM + pyspark
+        daemon/workers): live descendants via /proc walk, reaped children
+        via cutime/cstime. The JVM-only number under-counts whenever
+        Arrow-batched Python stages run."""
+        total = 0.0
+        children: dict[int, list[int]] = {}
+        stats: dict[int, tuple] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    head, rest = f.read().rsplit(")", 1)
+                parts = rest.split()
+                ppid = int(parts[1])
+                ut, st = int(parts[11]), int(parts[12])
+                cut, cst = int(parts[13]), int(parts[14])
+            except (OSError, ValueError):
+                continue
+            pid = int(d)
+            stats[pid] = (ut + st + cut + cst)
+            children.setdefault(ppid, []).append(pid)
+        root = os.getpid()
+        stack = [root]
+        while stack:
+            p = stack.pop()
+            total += stats.get(p, 0)
+            stack.extend(children.get(p, []))
+        return total / clk
+
+    def pinned_cpu_stat() -> tuple[float, float]:
+        """(busy_seconds, steal_seconds) summed over the CPUs this process
+        is pinned to, from /proc/stat. STEAL is the host-neighbor signal:
+        cycles the hypervisor gave to other tenants while this guest was
+        runnable — the objective contention measure the retry policy keys
+        on (a loud neighbor shows up here, not in the program's CPU)."""
+        cpus = os.sched_getaffinity(0)
+        busy = steal = 0.0
+        with open("/proc/stat") as f:
+            for ln in f:
+                if ln.startswith("cpu") and ln[3:4].isdigit():
+                    parts = ln.split()
+                    if int(parts[0][3:]) in cpus:
+                        v = [int(x) for x in parts[1:]]
+                        busy += (v[0] + v[1] + v[2] + v[5] + v[6]) / clk
+                        steal += (v[7] if len(v) > 7 else 0) / clk
+        return busy, steal
+
+    def gc_millis() -> int:
+        beans = (spark.sparkContext._jvm.java.lang.management
+                 .ManagementFactory.getGarbageCollectorMXBeans())
+        return sum(beans.get(i).getCollectionTime()
+                   for i in range(beans.size()))
 
     cpu0 = jvm_cpu_seconds()
+    tree0 = tree_cpu_seconds()
+    busy0, steal0 = pinned_cpu_stat()
+    gc0 = gc_millis()
     t0 = time.time()
     result = run_pipeline_batched(store, CRAWLER_ORDER, count_rows=False,
                                   nodes_from_triples=True)
     dt = time.time() - t0
     cpu = jvm_cpu_seconds() - cpu0
+    tree_cpu = tree_cpu_seconds() - tree0
+    busy1, steal1 = pinned_cpu_stat()
+    gc_s = (gc_millis() - gc0) / 1000.0
     result["triples"] = spark.read.parquet(store.triples_path).count()
     print(json.dumps({
         "cores": args.cores,
@@ -82,6 +170,12 @@ def main():
         "docs_per_sec": round(n_docs / dt, 1),
         "cpu_seconds": round(cpu, 2),
         "cpu_busy_fraction": round(cpu / (dt * args.cores), 3),
+        "tree_cpu_seconds": round(tree_cpu, 2),
+        "tree_busy_fraction": round(tree_cpu / (dt * args.cores), 3),
+        "gc_seconds": round(gc_s, 2),
+        "pinned_busy_seconds": round(busy1 - busy0, 2),
+        "steal_seconds": round(steal1 - steal0, 2),
+        "steal_fraction": round((steal1 - steal0) / (dt * args.cores), 4),
         "triples": result["triples"],
     }))
     spark.stop()

@@ -356,6 +356,24 @@ class GraphStore:
         }
 
 
+def make_store(spark: SparkSession, root: str,
+               backend: str | None = None) -> GraphStore:
+    """Backend-selecting factory: ``local`` (default — partitioned parquet,
+    this module) or ``iceberg`` (store_iceberg.IcebergGraphStore — same
+    surface on an Iceberg catalog; ``root`` becomes the table prefix, e.g.
+    ``lake.iyp``). Selected by the ``backend`` arg, else the
+    ``IYP_STORE_BACKEND`` env var (what scripts/submit_cluster.sh sets);
+    the cluster port is a second implementation, not a rewrite."""
+    choice = (backend or os.environ.get("IYP_STORE_BACKEND", "local")).lower()
+    if choice == "local":
+        return GraphStore(spark, root)
+    if choice == "iceberg":
+        from .store_iceberg import IcebergGraphStore
+
+        return IcebergGraphStore(spark, root)
+    raise ValueError(f"unknown store backend: {choice}")
+
+
 class StageTimer:
     """Context manager: time a stage and log lineage on exit."""
 

@@ -108,3 +108,28 @@ def test_batched_pipeline_resume_after_crash(spark):
         assert all(v == 1 for v in per.values()), per
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_store_backend_factory_and_merge_sql(spark):
+    """make_store selects the backend; the Iceberg MERGE text matches the
+    dictionary-merge semantics GraphStore.upsert_nodes documents."""
+    import tempfile as tf
+
+    from iyp_spark.store import make_store
+    from iyp_spark.store_iceberg import IcebergGraphStore, merge_nodes_sql
+
+    local = make_store(spark, tf.mkdtemp(prefix="iyp_fac_"))
+    assert isinstance(local, GraphStore)
+    assert not isinstance(local, IcebergGraphStore)
+
+    ice = make_store(spark, "lake.iyp", backend="iceberg")
+    assert isinstance(ice, IcebergGraphStore)
+    assert ice._tbl("triples") == "lake.iyp.triples"
+
+    sql = merge_nodes_sql("lake.iyp.nodes", "src")
+    assert "MERGE INTO lake.iyp.nodes" in sql
+    assert "array_union(t.labels, s.labels)" in sql
+    assert "WHEN NOT MATCHED THEN INSERT" in sql
+
+    with pytest.raises(ValueError):
+        make_store(spark, "/tmp/x", backend="bogus")
