@@ -149,8 +149,18 @@ def run_scaling(kg_scale: float, repeats: int = 3) -> dict:
         for c in (2, 8):
             if runs[c][r].get("steal_fraction", 0.0) > 0.02:
                 return False
+            # foreign load on OUR pinned CPUs: /proc/stat busy on those
+            # CPUs minus our own process tree's CPU. tmpfs has no
+            # writeback, so anything above noise is another process
+            # scheduled onto the measurement cores.
+            pb = runs[c][r].get("pinned_busy_seconds")
+            tc = runs[c][r].get("tree_cpu_seconds")
+            if pb is not None and tc is not None:
+                denom = runs[c][r]["seconds"] * c
+                if (pb - tc) / denom > 0.10:
+                    return False
         tr = tree_ratio(r)
-        return tr is None or 0.7 <= tr <= 1.4
+        return tr is None or 0.85 <= tr <= 1.25
 
     n_rounds = repeats
     extra_budget = 2
@@ -188,8 +198,9 @@ def run_scaling(kg_scale: float, repeats: int = 3) -> dict:
         "triples": out[2]["triples"],
         "efficiency_N_to_4N": eff,
         "efficiency_policy": "median of quiet matched rounds "
-                             "(loudness = steal>2% or tree-CPU ratio "
-                             "outside [0.7,1.4]; direction-blind)",
+                             "(loudness = steal>2%, foreign busy>10% on "
+                             "pinned CPUs, or tree-CPU ratio outside "
+                             "[0.85,1.25]; direction-blind)",
         "efficiency_per_round": eff_rounds,
         "quiet_rounds": quiet_mask,
         "headline_round": med_r,
@@ -311,8 +322,12 @@ def _write_bench_md(result: dict) -> None:
         f"**Scaling efficiency N→4N: {s.get('efficiency_N_to_4N')}** (speedup / 4;",
         "MEDIAN over quiet matched interleaved rounds — a round is loud, and",
         "dropped, on objective direction-blind signals only: >2% hypervisor",
-        "steal on the pinned CPUs, or a process-tree CPU work ratio outside",
-        f"[0.7, 1.4]. Per-round: {s.get('efficiency_per_round')},",
+        "steal on the pinned CPUs, >10% foreign busy on the pinned CPUs",
+        "(/proc/stat busy minus our own process tree — detects any other",
+        "process scheduled onto the measurement cores), or a process-tree",
+        "CPU work ratio outside",
+        f"[0.85, 1.25] (quiet-window runs measure ~1.0-1.1;",
+        "identical work cannot legitimately cost 30% more CPU). Per-round: {s.get('efficiency_per_round')},",
         f"quiet mask: {s.get('quiet_rounds')}.",
         "",
         "Subprocesses are taskset-pinned to exactly N / 4N CPUs (an unpinned",

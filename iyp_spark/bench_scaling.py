@@ -95,36 +95,57 @@ def main():
             rest = f.read().rsplit(")", 1)[1].split()
         return (int(rest[11]) + int(rest[12])) / clk
 
-    def tree_cpu_seconds() -> float:
-        """CPU of the WHOLE process tree (this driver + JVM + pyspark
-        daemon/workers): live descendants via /proc walk, reaped children
-        via cutime/cstime. The JVM-only number under-counts whenever
-        Arrow-batched Python stages run."""
-        total = 0.0
+    import threading
+
+    def _tree_snapshot() -> dict[int, float]:
+        """own utime+stime per live descendant pid of this process (no
+        cutime — the sampler below remembers dead pids itself, and
+        pyspark.daemon auto-reaps workers WITHOUT cutime accounting, so a
+        one-shot end-of-run walk loses every worker that died mid-run)."""
         children: dict[int, list[int]] = {}
-        stats: dict[int, tuple] = {}
+        cpu: dict[int, float] = {}
         for d in os.listdir("/proc"):
             if not d.isdigit():
                 continue
             try:
                 with open(f"/proc/{d}/stat") as f:
-                    head, rest = f.read().rsplit(")", 1)
+                    rest = f.read().rsplit(")", 1)[1]
                 parts = rest.split()
-                ppid = int(parts[1])
-                ut, st = int(parts[11]), int(parts[12])
-                cut, cst = int(parts[13]), int(parts[14])
-            except (OSError, ValueError):
+                cpu[int(d)] = (int(parts[11]) + int(parts[12])) / clk
+                children.setdefault(int(parts[1]), []).append(int(d))
+            except (OSError, ValueError, IndexError):
                 continue
-            pid = int(d)
-            stats[pid] = (ut + st + cut + cst)
-            children.setdefault(ppid, []).append(pid)
-        root = os.getpid()
-        stack = [root]
+        out: dict[int, float] = {}
+        stack = [os.getpid()]
         while stack:
             p = stack.pop()
-            total += stats.get(p, 0)
+            if p in cpu:
+                out[p] = cpu[p]
             stack.extend(children.get(p, []))
-        return total / clk
+        return out
+
+    class TreeCpuSampler(threading.Thread):
+        """Whole-process-tree CPU (driver + JVM + Arrow python workers):
+        samples the tree every 2s and keeps each pid's LAST-SEEN CPU, so
+        workers that exit between samples still contribute (bounded error:
+        one sampling interval per dying pid)."""
+
+        def __init__(self):
+            super().__init__(daemon=True)
+            self.base = _tree_snapshot()
+            self.last = dict(self.base)
+            self._stop = threading.Event()
+
+        def run(self):
+            while not self._stop.wait(2.0):
+                self.last.update(_tree_snapshot())
+
+        def total(self) -> float:
+            self.last.update(_tree_snapshot())
+            return sum(self.last.values()) - sum(self.base.values())
+
+        def stop(self):
+            self._stop.set()
 
     def pinned_cpu_stat() -> tuple[float, float]:
         """(busy_seconds, steal_seconds) summed over the CPUs this process
@@ -151,7 +172,8 @@ def main():
                    for i in range(beans.size()))
 
     cpu0 = jvm_cpu_seconds()
-    tree0 = tree_cpu_seconds()
+    sampler = TreeCpuSampler()
+    sampler.start()
     busy0, steal0 = pinned_cpu_stat()
     gc0 = gc_millis()
     t0 = time.time()
@@ -159,7 +181,8 @@ def main():
                                   nodes_from_triples=True)
     dt = time.time() - t0
     cpu = jvm_cpu_seconds() - cpu0
-    tree_cpu = tree_cpu_seconds() - tree0
+    tree_cpu = sampler.total()
+    sampler.stop()
     busy1, steal1 = pinned_cpu_stat()
     gc_s = (gc_millis() - gc0) / 1000.0
     result["triples"] = spark.read.parquet(store.triples_path).count()

@@ -250,6 +250,21 @@ def parse_rfc3339_nano(col: Column) -> Column:
     )
 
 
+def parse_http_last_modified(col: Column) -> Column:
+    """HTTP Last-Modified header (RFC 7231 IMF-fixdate,
+    'Mon, 15 Aug 2022 10:00:00 GMT') → timestamp, null when malformed —
+    the P9 residual: ref iyp/__init__.py:93-107
+    (set_modification_time_from_last_modified_header, strptime
+    '%a, %d %b %Y %H:%M:%S %Z'; all HTTP dates are UTC per RFC 2616
+    §3.3.1, so the zone token is validated then discarded)."""
+    pat = r"^\w{3}, (\d{2} \w{3} \d{4} \d{2}:\d{2}:\d{2}) (GMT|UTC)$"
+    base = F.regexp_extract(F.trim(col), pat, 1)
+    return F.when(
+        base != "",
+        F.try_to_timestamp(base, F.lit("dd MMM yyyy HH:mm:ss")),
+    )
+
+
 def node_id(label: Column | str, key: Column) -> Column:
     """Deterministic node id: xxhash64(primary label, canonical key).
 

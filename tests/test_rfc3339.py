@@ -46,3 +46,28 @@ def test_parse_rfc3339_nano(spark):
     for i, (raw, want) in enumerate(CASES):
         want_us = None if want is None else int(want.timestamp() * 1_000_000)
         assert got[i] == want_us, f"{raw}: {got[i]} != {want_us}"
+
+
+def test_parse_http_last_modified(spark):
+    """P9 residual: ref iyp/__init__.py:93-107 — Last-Modified headers."""
+    from iyp_spark.canon import parse_http_last_modified
+
+    cases = [
+        ("Mon, 15 Aug 2022 10:00:00 GMT",
+         datetime.datetime(2022, 8, 15, 10, 0, 0, 0, UTC)),
+        ("Sat, 01 Feb 2025 23:59:59 GMT",
+         datetime.datetime(2025, 2, 1, 23, 59, 59, 0, UTC)),
+        ("15 Aug 2022 10:00:00", None),       # missing weekday + zone
+        ("Mon, 15 Aug 2022 10:00:00 PST", None),  # non-UTC zone rejected
+        ("not a date", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i int, raw string")
+    from pyspark.sql import functions as F
+    got = {r["i"]: r["us"] for r in df.select(
+        "i", F.unix_micros(parse_http_last_modified(F.col("raw"))).alias("us")
+    ).collect()}
+    for i, (raw, want) in enumerate(cases):
+        want_us = None if want is None else int(want.timestamp() * 1_000_000)
+        assert got[i] == want_us, f"{raw}: {got[i]} != {want_us}"
