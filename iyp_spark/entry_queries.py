@@ -673,14 +673,14 @@ SELECT q_id, n_id, cell, FLOOR(cos * 1000000) / 1000000 AS cos FROM (
 WHERE rn <= 3
 """)
 def ann_ivf_topk(spark, sf_dir):
-    # Training is a BUILD-TIME artifact (cached_centroid_rows trains once
-    # per dataset and persists parquet, the stand-in for a lake
-    # `ivf_centroids/` table); the query itself assigns cells with a
-    # shuffle-free map-side argmax over the trained centroids.
-    from .ops.similarity import cached_centroid_rows, ivf_topk
+    # The IVF index (trained centroids + cell-assigned inverted lists) is
+    # a BUILD-TIME artifact (cached_ivf_index builds it once per dataset);
+    # the query is one scan of the inverted-list table + broadcast
+    # cell-join + top-k rank — no training, no argmax, no Python at query
+    # time.
+    from .ops.similarity import cached_ivf_index, ivf_topk_indexed
     emb = tbl(spark, sf_dir, "embeddings")
-    cents = cached_centroid_rows(spark, emb, sf_dir)
-    return ivf_topk(emb, centroids=cents)
+    return ivf_topk_indexed(spark, cached_ivf_index(spark, emb, sf_dir))
 
 
 # =====================================================================

@@ -200,10 +200,54 @@ def lloyd_refined_centroids(
 def build_ivf_artifact(
     emb: DataFrame, path: str, centroid_every: int = 50
 ) -> None:
-    """Train centroids and persist them as a parquet artifact (the lake's
-    `ivf_centroids/` table, written once beside `nodes/` — queries only
-    read it)."""
-    lloyd_refined_centroids(emb, centroid_every).write.mode("overwrite").parquet(path)
+    """Train centroids AND materialize the inverted lists — the two tables
+    that make a real IVF index:
+
+    - `<path>/centroids/`  (c_id, cv, cn) — the trained codebook;
+    - `<path>/assigned/`   (vec_id, vec, nrm, cell) — every vector stored
+      with its cell id, i.e. the inverted-list layout. At 10^9 vectors
+      this table is partitioned BY cell so a query prunes to its probe
+      cells' partitions; at test scale one parquet dir suffices.
+
+    Queries read these tables only: no training, no argmax, no Python at
+    query time — the map-side argmax UDF (`_argmax_cell`) runs here, at
+    build time, once per dataset."""
+    cents_df = lloyd_refined_centroids(emb, centroid_every)
+    cents_df.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    cents = sorted(
+        (r.asDict() for r in cents_df.collect()), key=lambda r: r["c_id"]
+    )
+    assigned = with_norm(emb).withColumn("cell", _argmax_cell(cents))
+    assigned.write.mode("overwrite").parquet(os.path.join(path, "assigned"))
+
+
+def ivf_topk_indexed(
+    spark: SparkSession, path: str, n_queries: int = 10, k: int = 3
+) -> DataFrame:
+    """Query the persisted IVF index: scan the inverted-list table, keep
+    the query vectors' cells, rank candidates by exact cosine. One scan +
+    one broadcast join + one top-k window; all JVM, nothing recomputed.
+    On a cell-partitioned table the query-cell filter is partition
+    pruning — the 10^9-vector read shrinks to the probed cells."""
+    assigned = spark.read.parquet(os.path.join(path, "assigned"))
+    q = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("qv"),
+        F.col("nrm").alias("qn"), "cell",
+    )
+    w_rank = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        F.broadcast(q).join(
+            assigned.select(
+                F.col("vec_id").alias("n_id"), F.col("vec").alias("nv"),
+                F.col("nrm").alias("nn"), F.col("cell").alias("ncell"),
+            ),
+            (F.col("cell") == F.col("ncell")) & (F.col("n_id") != F.col("q_id")),
+        )
+        .withColumn("cos", _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "cell", trunc6(F.col("cos")).alias("cos"))
+    )
 
 
 def load_centroid_rows(spark: SparkSession, path: str) -> list:
@@ -213,20 +257,22 @@ def load_centroid_rows(spark: SparkSession, path: str) -> list:
 
     import pyarrow.parquet as pq
 
-    parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    sub = os.path.join(path, "centroids")
+    parts = sorted(glob.glob(os.path.join(sub if os.path.isdir(sub) else path,
+                                          "*.parquet")))
     rows: list = []
     for p in parts:
         rows.extend(pq.read_table(p).to_pylist())
     return sorted(rows, key=lambda r: r["c_id"])
 
 
-def cached_centroid_rows(
+def cached_ivf_index(
     spark: SparkSession, emb: DataFrame, sf_dir: str, centroid_every: int = 50
-) -> list:
-    """Read the trained-centroid artifact for this dataset, training it
-    once if absent. Keyed by (path, size, mtime) of the embeddings input so
-    a regenerated dataset retrains. Stand-in for the lake's `ivf_centroids/`
-    table on a cluster."""
+) -> str:
+    """Path of the trained IVF index (centroids + inverted lists) for this
+    dataset, building it once if absent. Keyed by (path, size, mtime) of
+    the embeddings input so a regenerated dataset retrains. Stand-in for
+    the lake's `ivf_centroids/` + `ivf_assigned/` tables on a cluster."""
     src = os.path.join(sf_dir, "embeddings.parquet")
     try:
         st = os.stat(src)
@@ -238,9 +284,18 @@ def cached_centroid_rows(
         tempfile.gettempdir(), "iyp_ivf_cache"
     )
     path = os.path.join(cache, digest)
-    if not os.path.isdir(path):
+    if not os.path.isdir(os.path.join(path, "assigned")):
         build_ivf_artifact(emb, path, centroid_every)
-    return load_centroid_rows(spark, path)
+    return path
+
+
+def cached_centroid_rows(
+    spark: SparkSession, emb: DataFrame, sf_dir: str, centroid_every: int = 50
+) -> list:
+    """Back-compat: the centroid rows of the cached index."""
+    return load_centroid_rows(
+        spark, cached_ivf_index(spark, emb, sf_dir, centroid_every)
+    )
 
 
 # ---------------------------------------------------------------------------

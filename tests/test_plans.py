@@ -45,21 +45,32 @@ def test_dim_joins_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 3
 
 
-def test_ivf_assignment_is_shuffle_free(spark):
-    """The round-2 scale-killer fence: IVF cell assignment must be a
-    map-side argmax (Arrow UDF over the trained centroids), NOT an N×K
-    expansion ranked through a row_number window. The ONLY window in the
-    whole query is the final per-query top-k rank (one 'Window [' node,
-    with WindowGroupLimit pushdown), and the cell-join broadcasts the tiny
-    query side."""
+def test_ivf_query_reads_index_no_recompute(spark):
+    """The round-2 scale-killer fence: ann_ivf_topk must QUERY the
+    persisted IVF index (inverted-list scan + broadcast cell-join + one
+    top-k rank window), never retrain or re-assign: no N×K expansion
+    ranked through a row_number window, no Python at query time. The
+    build-time assignment path (map-side Arrow argmax, shuffle-free) is
+    checked separately."""
     from iyp_spark.entry_queries import QUERIES
+    from iyp_spark.ops.similarity import (lloyd_refined_centroids,
+                                          seed_centroid_rows, with_norm,
+                                          _argmax_cell)
 
     df = QUERIES["ann_ivf_topk"](spark, "/root/testdata/sf0.001")
     plan = plan_of(df)
-    assert plan.count("Window [") == 1, "assignment must not rank through a window"
-    assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" in plan, "map-side argmax UDF missing"
+    assert plan.count("Window [") == 1, "query must only rank the final top-k"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, \
+        "query time must not recompute assignments in Python"
     assert "BroadcastHashJoin" in plan, "cell-join must broadcast the query side"
+
+    # build-time assignment: one Arrow UDF projection, no join/window/shuffle
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = seed_centroid_rows(emb)
+    assign_plan = plan_of(with_norm(emb).withColumn("cell", _argmax_cell(seeds)))
+    assert "ArrowEvalPython" in assign_plan
+    assert "Exchange" not in assign_plan, "assignment must be shuffle-free"
+    assert "Window" not in assign_plan
 
 
 @pytest.mark.parametrize("qname", sorted(__import__("iyp_spark.entry_queries", fromlist=["QUERIES"]).QUERIES))
