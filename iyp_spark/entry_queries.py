@@ -509,7 +509,9 @@ sh AS (SELECT doc_id,
        FROM tok)"""
 
 _SIG_SQL = """
-sig AS (SELECT doc_id, band, min(md5(band || ':' || sh)) AS sig
+sig AS (SELECT doc_id, band,
+               min(substr(md5('0:' || sh) || md5('1:' || sh),
+                          CAST(band * 8 + 1 AS INT), 8)) AS sig
         FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS band)
         GROUP BY doc_id, band)"""
 

@@ -66,20 +66,27 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
 
 
 def minhash_signatures(sh: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
-    """(doc_id, band, sig): per-band min of md5(band:shingle) — one hash
-    function per band, signature = the band minimum.
+    """(doc_id, band, sig): per-band min-hash — band b's hash of a shingle
+    is an 8-hex-char window of a 64-char digest pool built from TWO md5
+    calls (md5('0:'+sh) || md5('1:'+sh)), so the per-shingle hash work is
+    2 digests instead of n_bands=8 (the hot map-side stage at corpus
+    scale). 32 bits per band keeps the min-statistic space large enough
+    that band minima stay discriminative; fixed-width lowercase hex means
+    string MIN == numeric MIN, and md5+substr reproduce identically in
+    DuckDB, keeping the oracle hash-exact.
 
     All band minima are computed in ONE groupBy pass (n_bands min-aggs per
-    row) instead of exploding each shingle ×n_bands first: the hash work is
-    identical but the aggregate consumes 1/n_bands the rows, and the
-    (tiny) shuffle carries one row per doc instead of one per (doc, band).
-    The trailing stack() restores the (doc_id, band, sig) long shape the
-    band-bucket join expects."""
-    mins = sh.groupBy("doc_id").agg(
+    row) instead of exploding each shingle ×n_bands first: the aggregate
+    consumes 1/n_bands the rows, and the (tiny) shuffle carries one row
+    per doc instead of one per (doc, band). The trailing stack() restores
+    the (doc_id, band, sig) long shape the band-bucket join expects."""
+    pool = F.concat(
+        F.md5(F.concat_ws(":", F.lit(0), F.col("sh"))),
+        F.md5(F.concat_ws(":", F.lit(1), F.col("sh"))),
+    )
+    mins = sh.withColumn("_h", pool).groupBy("doc_id").agg(
         *[
-            F.min(
-                F.md5(F.concat_ws(":", F.lit(b), F.col("sh")))
-            ).alias(f"m{b}")
+            F.min(F.substring("_h", 8 * b + 1, 8)).alias(f"m{b}")
             for b in range(n_bands)
         ]
     )
