@@ -198,6 +198,24 @@ def run_scaling(kg_scale: float, repeats: int = 3) -> dict:
     # can't sink it). All rounds and the quiet mask are in the JSON.
     import statistics
 
+    # Host-window label (informational, does NOT affect selection): the
+    # 2-core runs burn ~20.9 µs of process-tree CPU per doc in a quiet
+    # window (measured at the default 33.6M-doc corpus; smaller corpora
+    # amortize fixed costs differently — treat the label as advisory
+    # off-default). When neighbor tenants saturate the host,
+    # absolute CPU inflates at BOTH levels (observed +18%) and the
+    # efficiency ratio drifts toward a meaningless 1.0 — flag those rounds
+    # so a too-good-looking artifact is self-describing.
+    BASE_CPU_PER_DOC_US = 20.9
+
+    def host_window(r: int) -> str:
+        tc = runs[2][r].get("tree_cpu_seconds")
+        docs_n = runs[2][r].get("docs")
+        if not tc or not docs_n:
+            return "unknown"
+        us = tc / docs_n * 1e6
+        return "quiet" if us <= BASE_CPU_PER_DOC_US * 1.15 else "degraded"
+
     eff_rounds = [eff_of(r) for r in range(n_rounds)]
     quiet_mask = [is_quiet(r) for r in range(n_rounds)]
     quiet_rs = [r for r in range(n_rounds) if quiet_mask[r]] or list(range(n_rounds))
@@ -221,6 +239,7 @@ def run_scaling(kg_scale: float, repeats: int = 3) -> dict:
                              "[0.85,1.25]; direction-blind)",
         "efficiency_per_round": eff_rounds,
         "quiet_rounds": quiet_mask,
+        "host_window_per_round": [host_window(r) for r in range(n_rounds)],
         "headline_round": med_r,
         "all_rounds": {str(c): v for c, v in runs.items()},
     }
