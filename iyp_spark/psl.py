@@ -9,7 +9,7 @@ BOUNDED number of broadcast hash joins — one per candidate-suffix depth —
 so classification is a pure projection pipeline with zero shuffles:
 
 - a name's candidate suffixes are its last 1..MAX_K labels (MAX_K = the
-  deepest rule in the list, 3 in this snapshot, 5 for the full PSL);
+  deepest rule in the list, 5 in the published data);
 - candidate k joins the k-label rules dimension (exact + exception rules on
   the literal labels, wildcard rules on the candidate with its leftmost
   label replaced by '*');
@@ -18,17 +18,20 @@ so classification is a pure projection pipeline with zero shuffles:
 - no match → no public suffix → registered_domain is null (tldextract
   returns '' rather than applying the PSL's implicit '*' rule).
 
-``PSL_ICANN`` / ``PSL_PRIVATE`` form an offline snapshot of the public list
-(publicsuffix.org, public domain data): all ccTLDs + common gTLDs, the
-widely-used ccTLD second-level registries (uk au jp br cn us ca …), the
-full-TLD wildcards (*.bd *.ck …), the jp designated-city
-wildcard+exception pairs and geographic 3-label rules, the US k12/cc/lib
-state hierarchies, and the high-traffic PRIVATE-section hosting suffixes
-(s3/compute.amazonaws.com, github.io, blogspot, azurewebsites, pages.dev,
-…). Every rule kind and every depth (1-5 labels) in the real list is
-exercised; swapping in the byte-complete published file is a data-only
-change (the full ≈10k rows still broadcast without changing the plan
-shape, and ``MAX_K`` is derived from the data).
+``PSL_ICANN`` / ``PSL_PRIVATE`` are loaded from the byte-complete
+published list vendored at ``data/public_suffix_list.dat``
+(publicsuffix.org, MPL-2.0 data file, carries its own license header;
+this copy is the Debian ``publicsuffix`` package's
+``/usr/share/publicsuffix/public_suffix_list.dat``): ~9.5k rules —
+every ccTLD/gTLD, all second-level registries, full-TLD wildcards
+(*.bd *.ck …), the jp designated-city wildcard+exception pairs and
+geographic rules, the US k12/cc/lib hierarchies, and the complete
+PRIVATE section. Unicode rules additionally register their punycode
+(IDNA) form, matching tldextract's snapshot behavior, so xn-- names
+seen in DNS data classify identically. ``MAX_K`` is derived from the
+data (5). The full list still broadcasts — ~10k rows split across five
+depth dimensions is kilobytes — and the plan shape is unchanged from
+the round-2 snapshot.
 
 tldextract parity: the reference's ``tldextract.extract`` DEFAULT excludes
 the PSL private section, so ``include_private=False`` (the default here)
@@ -42,125 +45,66 @@ by tests — same data, independent implementation.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-PSL_ICANN = """
-com net org io info biz dev app xyz online site club shop edu gov mil int
-arpa aero asia cat coop jobs mobi museum name post pro tel travel xxx
-cloud digital live media news store tech today top vip wiki work zone
-agency art blog cafe chat city codes company cool design email energy
-estate events expert family finance fitness fun fund gallery games global
-gold group guru health help host house institute international land legal
-life link lol love ltd market marketing money movie network ninja one
-page partners party photo photography pics pictures pizza place plus
-press productions pub red rocks run sale school science services show
-social software solutions space sport studio style support systems tax
-team technology tips tools tours town toys trade training university
-video vision watch website wedding win wine works world wtf yoga
-ac ad ae af ag ai al am ao aq ar at au aw ax az ba bb be bf bg bh bi bj bm
-bn bo br bs bt bw by bz ca cc cd cf cg ch ci cl cm cn co cr cu cv cw cx cy
-cz de dj dk dm do dz ec ee eg es et eu fi fj fm fo fr ga gb gd ge gg gh
-gi gl gm gn gq gr gs gt gu gw gy hk hm hn hr ht hu id ie il im in iq ir is
-it je jo jp ke kg ki km kn kp kr kw ky kz la lb lc li lk lr ls lt lu
-lv ly ma mc md me mg mh mk ml mm mn mo mp mq mr ms mt mu mv mw mx my mz na
-nc ne nf ng ni nl no np nr nu nz om pa pe pf ph pk pl pm pn pr ps pt pw
-py qa re ro rs ru rw sa sb sc sd se sg sh si sk sl sm sn so sr ss st sv sx
-sy sz tc td tf tg th tj tk tl tm tn to tr tt tv tw tz ua ug uk us uy uz va
-vc ve vg vi vn vu wf ws ye yt za zm zw
-*.bd *.ck !www.ck *.er *.fk *.jm *.kh *.mm *.np *.pg
-co.uk org.uk ac.uk gov.uk net.uk sch.uk me.uk ltd.uk plc.uk nhs.uk
-police.uk
-com.au net.au org.au edu.au gov.au asn.au id.au
-act.edu.au nsw.edu.au qld.edu.au vic.edu.au
-co.jp ne.jp or.jp ac.jp ad.jp ed.jp go.jp gr.jp lg.jp
-hokkaido.jp aomori.jp iwate.jp miyagi.jp akita.jp yamagata.jp fukushima.jp
-ibaraki.jp tochigi.jp gunma.jp saitama.jp chiba.jp tokyo.jp kanagawa.jp
-niigata.jp toyama.jp ishikawa.jp fukui.jp yamanashi.jp nagano.jp gifu.jp
-shizuoka.jp aichi.jp mie.jp shiga.jp kyoto.jp osaka.jp hyogo.jp nara.jp
-wakayama.jp tottori.jp shimane.jp okayama.jp hiroshima.jp yamaguchi.jp
-tokushima.jp kagawa.jp ehime.jp kochi.jp fukuoka.jp saga.jp nagasaki.jp
-kumamoto.jp oita.jp miyazaki.jp kagoshima.jp okinawa.jp
-*.kawasaki.jp !city.kawasaki.jp
-*.kitakyushu.jp !city.kitakyushu.jp
-*.kobe.jp !city.kobe.jp
-*.nagoya.jp !city.nagoya.jp
-*.sapporo.jp !city.sapporo.jp
-*.sendai.jp !city.sendai.jp
-*.yokohama.jp !city.yokohama.jp
-chiyoda.tokyo.jp shinjuku.tokyo.jp minato.tokyo.jp shibuya.tokyo.jp
-setagaya.tokyo.jp suginami.tokyo.jp naha.okinawa.jp
-com.br net.br org.br gov.br edu.br
-com.cn net.cn org.cn gov.cn edu.cn ac.cn
-co.in net.in org.in firm.in gen.in ind.in
-co.za net.za org.za gov.za web.za ac.za edu.za law.za mil.za nom.za
-school.za
-com.mx org.mx net.mx gob.mx edu.mx
-com.ar net.ar org.ar gob.ar edu.ar
-com.tr net.tr org.tr gov.tr edu.tr
-co.kr ne.kr or.kr re.kr go.kr ac.kr
-com.sg net.sg org.sg edu.sg gov.sg
-com.hk net.hk org.hk edu.hk gov.hk
-co.nz net.nz org.nz govt.nz ac.nz school.nz geek.nz gen.nz kiwi.nz
-maori.nz
-co.id net.id or.id web.id ac.id
-com.tw net.tw org.tw edu.tw gov.tw
-co.th in.th ac.th go.th or.th
-com.my net.my org.my edu.my gov.my
-co.il net.il org.il ac.il gov.il
-com.eg net.eg org.eg edu.eg gov.eg
-com.co net.co org.co nom.co edu.co gov.co
-com.ua net.ua org.ua edu.ua gov.ua in.ua kiev.ua
-com.ph net.ph org.ph edu.ph gov.ph
-com.vn net.vn org.vn edu.vn gov.vn
-com.pk net.pk org.pk edu.pk gov.pk
-com.ng net.ng org.ng edu.ng gov.ng
-co.ke or.ke ne.ke go.ke ac.ke sc.ke
-com.gh edu.gh gov.gh org.gh
-com.sa net.sa org.sa edu.sa gov.sa med.sa pub.sa
-co.ae net.ae org.ae ac.ae gov.ae
-com.qa net.qa org.qa edu.qa gov.qa
-com.lb net.lb org.lb edu.lb gov.lb
-com.jo net.jo org.jo edu.jo gov.jo
-com.pe net.pe org.pe edu.pe gob.pe nom.pe
-gob.cl gov.cl
-com.uy net.uy org.uy edu.uy gub.uy
-com.py coop.py edu.py gov.py net.py org.py
-com.bo net.bo org.bo edu.bo gob.bo
-com.ec net.ec org.ec edu.ec gob.ec fin.ec med.ec pro.ec info.ec
-com.ve net.ve org.ve edu.ve gob.ve info.ve web.ve
-com.gt net.gt org.gt edu.gt gob.gt ind.gt mil.gt
-com.do net.do org.do edu.do gob.do gov.do web.do mil.do sld.do
-com.pr net.pr org.pr gov.pr edu.pr isla.pr pro.pr biz.pr info.pr name.pr
-ab.ca bc.ca mb.ca nb.ca nf.ca nl.ca ns.ca nt.ca nu.ca on.ca pe.ca qc.ca
-sk.ca yk.ca gc.ca
-ak.us al.us ar.us az.us ca.us co.us ct.us dc.us de.us fl.us ga.us hi.us
-ia.us id.us il.us in.us ks.us ky.us la.us ma.us md.us me.us mi.us mn.us
-mo.us ms.us mt.us nc.us nd.us ne.us nh.us nj.us nm.us nv.us ny.us oh.us
-ok.us or.us pa.us ri.us sc.us sd.us tn.us tx.us ut.us va.us vt.us wa.us
-wi.us wv.us wy.us
-k12.ca.us k12.ny.us k12.tx.us k12.fl.us k12.il.us k12.pa.us k12.oh.us
-k12.ma.us k12.wa.us k12.mi.us cc.ca.us cc.ny.us cc.tx.us lib.ca.us
-lib.ny.us lib.tx.us
-""".split()
+_PSL_DATA = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "public_suffix_list.dat"
+)
 
-PSL_PRIVATE = """
-s3.amazonaws.com s3-website-us-east-1.amazonaws.com
-s3.dualstack.us-east-1.amazonaws.com
-*.compute.amazonaws.com *.compute-1.amazonaws.com *.elb.amazonaws.com
-elasticbeanstalk.com awsglobalaccelerator.com cloudfront.net
-github.io githubusercontent.com gitlab.io
-herokuapp.com herokussl.com
-blogspot.com blogspot.co.uk blogspot.de blogspot.fr blogspot.jp
-blogspot.com.br blogspot.in blogspot.mx
-appspot.com googleapis.com run.app web.app firebaseapp.com
-azurewebsites.net cloudapp.net cloudapp.azure.com azurestaticapps.net
-pages.dev workers.dev trycloudflare.com
-netlify.app vercel.app now.sh onrender.com fly.dev up.railway.app
-global.ssl.fastly.net global.prod.fastly.net
-readthedocs.io surge.sh ngrok.io
-ddns.net duckdns.org hopto.org dyndns.org no-ip.com
-""".split()
+
+def _punycode(rule: str) -> str | None:
+    """The IDNA (punycode) form of a unicode rule, or None if a label
+    refuses to encode (Python's idna codec is IDNA-2003; the handful of
+    rules it rejects simply keep only their unicode form)."""
+    bang = rule.startswith("!")
+    try:
+        enc = ".".join(
+            lbl if lbl == "*" or lbl.isascii()
+            else lbl.encode("idna").decode("ascii")
+            for lbl in rule.lstrip("!").split(".")
+        )
+    except UnicodeError:
+        return None
+    return ("!" if bang else "") + enc
+
+
+def load_psl(path: str = _PSL_DATA) -> tuple[list[str], list[str]]:
+    """Parse the published PSL file into (icann_rules, private_rules).
+    Format per publicsuffix.org: one rule per line up to the first
+    whitespace; // comments; the ===BEGIN/END ICANN|PRIVATE DOMAINS===
+    markers delimit the sections. Unicode rules also register their
+    punycode form (tldextract snapshot parity)."""
+    icann: list[str] = []
+    private: list[str] = []
+    section: list[str] | None = None
+    with open(path, encoding="utf-8") as f:
+        for ln in f:
+            ln = ln.strip()
+            if not ln:
+                continue
+            if ln.startswith("//"):
+                if "BEGIN ICANN" in ln:
+                    section = icann
+                elif "BEGIN PRIVATE" in ln:
+                    section = private
+                elif "END ICANN" in ln or "END PRIVATE" in ln:
+                    section = None
+                continue
+            if section is None:
+                continue
+            rule = ln.split()[0].lower()
+            section.append(rule)
+            if not rule.isascii():
+                puny = _punycode(rule)
+                if puny is not None and puny != rule:
+                    section.append(puny)
+    return icann, private
+
+
+PSL_ICANN, PSL_PRIVATE = load_psl()
 
 PSL_SNAPSHOT = PSL_ICANN + PSL_PRIVATE  # back-compat alias (full rule set)
 
@@ -232,6 +176,13 @@ def py_fqdn(name: str, include_private: bool = False) -> str | None:
 
 # ---------------------------------------------------------------- spark
 
+# per-session dim cache: the full list is ~10k rules, and rebuilding the
+# five depth dims through py4j on every classification call is pure
+# overhead — keyed by applicationId so a restarted session gets fresh
+# DataFrames, never stale handles
+_DIM_CACHE: dict[tuple[str, int, bool], DataFrame | None] = {}
+
+
 def _dim(spark: SparkSession, k: int,
          include_private: bool = False) -> DataFrame | None:
     """Rules whose match key has exactly k labels, as a broadcast dim:
@@ -239,6 +190,9 @@ def _dim(spark: SparkSession, k: int,
     labels but yield a suffix one label shorter; wildcard rules match on
     the '*.'-key. Exceptions get priority via negative encoding resolved
     by the caller."""
+    ck = (spark.sparkContext.applicationId, k, include_private)
+    if ck in _DIM_CACHE:
+        return _DIM_CACHE[ck]
     rows = []
     for labels, kind, priv in _PARSED:
         if len(labels) != k or (priv and not include_private):
@@ -248,9 +202,12 @@ def _dim(spark: SparkSession, k: int,
             rows.append((key, -(k - 1)))  # negative = exception, wins
         else:
             rows.append((key, k))
-    if not rows:
-        return None
-    return spark.createDataFrame(rows, "psl_key string, psl_suffix_labels int")
+    dim = (
+        spark.createDataFrame(rows, "psl_key string, psl_suffix_labels int")
+        if rows else None
+    )
+    _DIM_CACHE[ck] = dim
+    return dim
 
 
 def with_registered_domain(
