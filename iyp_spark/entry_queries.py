@@ -685,6 +685,63 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk_indexed(spark, cached_ivf_index(spark, emb, sf_dir))
 
 
+@q("ann_ivf_topk_nprobe2", """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
+seeds AS (SELECT vec_id AS c_id, vec AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+assigned0 AS (
+  SELECT vec_id, vec, nrm, c_id AS cell FROM (
+    SELECT n.vec_id, n.vec, n.nrm, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+               ORDER BY list_dot_product(n.vec, c.cv) / (n.nrm * c.cn) DESC,
+                        c.c_id) AS rn
+    FROM n CROSS JOIN seeds c) WHERE rn = 1),
+dim_means AS (
+  SELECT cell, i,
+         SUM(CAST(FLOOR(vec[i] * 1000000) AS BIGINT)) / COUNT(*) / 1000000.0 AS m
+  FROM assigned0, UNNEST(range(1, len(vec)+1)) AS t(i)
+  GROUP BY cell, i),
+cents AS (
+  SELECT cell AS c_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+    SELECT cell, array_agg(m ORDER BY i) AS cv FROM dim_means GROUP BY cell)),
+assigned AS (
+  SELECT vec_id, vec, nrm, c_id AS cell FROM (
+    SELECT n.vec_id, n.vec, n.nrm, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+               ORDER BY list_dot_product(n.vec, c.cv) / (n.nrm * c.cn) DESC,
+                        c.c_id) AS rn
+    FROM n CROSS JOIN cents c) WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, vec AS qv, nrm AS qn
+      FROM assigned WHERE vec_id < 10),
+probes AS (
+  SELECT q_id, c_id AS cell FROM (
+    SELECT q.q_id, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC,
+                        c.c_id) AS rn
+    FROM q CROSS JOIN cents c) WHERE rn <= 2)
+SELECT q_id, n_id, cell, FLOOR(cos * 1000000) / 1000000 AS cos FROM (
+  SELECT q.q_id, a.vec_id AS n_id, a.cell,
+         list_dot_product(q.qv, a.vec) / (q.qn * a.nrm) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY list_dot_product(q.qv, a.vec) / (q.qn * a.nrm) DESC,
+                      a.vec_id) AS rn
+  FROM q JOIN probes p ON p.q_id = q.q_id
+  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> q.q_id)
+WHERE rn <= 3
+""")
+def ann_ivf_topk_nprobe2(spark, sf_dir):
+    # Multi-probe IVF (the boundary-recall fix): probe the TOP-2 cells by
+    # query-centroid cosine instead of only the query's own cell. Same
+    # persisted index, same single rank window; probe selection is a tiny
+    # q x K sorted-aggregate. On the cell-partitioned production layout
+    # the probe filter is still partition pruning (2 cells instead of 1).
+    from .ops.similarity import cached_ivf_index, ivf_topk_indexed
+    emb = tbl(spark, sf_dir, "embeddings")
+    return ivf_topk_indexed(spark, cached_ivf_index(spark, emb, sf_dir),
+                            nprobe=2)
+
+
 # =====================================================================
 # Training-data ops: multimodal decode plumbing (ops/multimodal.py)
 # Spark side: real binary column + Arrow mapInPandas; decode itself is a

@@ -73,6 +73,20 @@ def test_ivf_query_reads_index_no_recompute(spark):
     assert "Window" not in assign_plan
 
 
+def test_ivf_nprobe2_plan_single_window(spark):
+    """Multi-probe keeps the query's plan shape: probe-cell selection is
+    a tiny sorted-aggregate (HashAggregate), NOT a second window — the
+    final top-k rank stays the only Window, and there is still no Python
+    and no cartesian product at query time."""
+    from iyp_spark.entry_queries import QUERIES
+
+    plan = plan_of(QUERIES["ann_ivf_topk_nprobe2"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Window [") == 1, "probe selection must not add a window"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 @pytest.mark.parametrize("qname", sorted(__import__("iyp_spark.entry_queries", fromlist=["QUERIES"]).QUERIES))
 def test_no_per_row_python_in_entry_queries(spark, qname):
     """Every driver-contract query stays Arrow-or-JVM (BatchEvalPython
