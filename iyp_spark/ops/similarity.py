@@ -207,28 +207,53 @@ def lloyd_refined_centroids(
     return refined
 
 
+# minimum average vectors per cell before the inverted-list table is
+# PHYSICALLY partitioned by cell: below this, per-cell files are
+# pathological small files (at sf0.1 that would be ~50 rows/file); at
+# production (10^9 vectors / ~30k cells ≈ 33k rows/cell) it always holds.
+MIN_ROWS_PER_CELL_PARTITION = 5000
+
+
 def build_ivf_artifact(
-    emb: DataFrame, path: str, centroid_every: int = 50
+    emb: DataFrame, path: str, centroid_every: int = 50,
+    partition_by_cell: bool | None = None,
 ) -> None:
     """Train centroids AND materialize the inverted lists — the two tables
     that make a real IVF index:
 
     - `<path>/centroids/`  (c_id, cv, cn) — the trained codebook;
     - `<path>/assigned/`   (vec_id, vec, nrm, cell) — every vector stored
-      with its cell id, i.e. the inverted-list layout. At 10^9 vectors
-      this table is partitioned BY cell so a query prunes to its probe
-      cells' partitions; at test scale one parquet dir suffices.
+      with its cell id, i.e. the inverted-list layout.
 
-    Queries read these tables only: no training, no argmax, no Python at
-    query time — the map-side argmax UDF (`_argmax_cell`) runs here, at
-    build time, once per dataset."""
+    ``partition_by_cell`` controls the physical layout of `assigned/`:
+    True = `partitionBy(cell)` after a repartition on cell (one sane file
+    per cell; a probe-cell filter is then PARTITION PRUNING — the
+    10^9-vector read shrinks to the probed cells' directories). The
+    default (None) decides from the data: partition exactly when the
+    average cell holds ≥ MIN_ROWS_PER_CELL_PARTITION vectors — at test
+    scale that keeps the single-dir layout (per-cell files of ~50 rows
+    would be the small-files antipattern), at production scale it always
+    partitions. Queries read these tables only: no training, no argmax,
+    no Python at query time — the map-side argmax UDF (`_argmax_cell`)
+    runs here, at build time, once per dataset."""
     cents_df = lloyd_refined_centroids(emb, centroid_every)
     cents_df.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     cents = sorted(
         (r.asDict() for r in cents_df.collect()), key=lambda r: r["c_id"]
     )
     assigned = with_norm(emb).withColumn("cell", _argmax_cell(cents))
-    assigned.write.mode("overwrite").parquet(os.path.join(path, "assigned"))
+    if partition_by_cell is None:
+        partition_by_cell = (
+            emb.count() / max(len(cents), 1) >= MIN_ROWS_PER_CELL_PARTITION
+        )
+    if partition_by_cell:
+        (
+            assigned.repartition(F.col("cell"))
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(os.path.join(path, "assigned"))
+        )
+    else:
+        assigned.write.mode("overwrite").parquet(os.path.join(path, "assigned"))
 
 
 def ivf_topk_indexed(
@@ -282,7 +307,9 @@ def ivf_topk_indexed(
         .withColumn("cos", _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
         .withColumn("rn", F.row_number().over(w_rank))
         .filter(F.col("rn") <= k)
-        .select("q_id", "n_id", F.col("ncell").alias("cell"),
+        # cast: under the cell-partitioned layout the partition column
+        # reads back as int — pin the public schema to bigint either way
+        .select("q_id", "n_id", F.col("ncell").cast("bigint").alias("cell"),
                 trunc6(F.col("cos")).alias("cos"))
     )
 

@@ -103,3 +103,38 @@ def test_centroid_seed_collect_is_bounded(spark):
     # small data: centroid_every semantics exactly preserved
     small = big.filter("vec_id < 500")
     assert len(seed_centroid_rows(small, centroid_every=50)) == 10
+
+
+def test_ivf_cell_partitioned_layout(spark, emb, tmp_path):
+    """The production inverted-list layout: partitionBy(cell) gives one
+    file per cell, a probe-cell filter compiles to PARTITION pruning (the
+    PartitionFilters slot of the scan, before any row is read), and query
+    results are IDENTICAL to the single-dir layout. Auto mode keeps the
+    single dir at test scale (small-files guard)."""
+    import os
+
+    from iyp_spark.ops.similarity import (build_ivf_artifact,
+                                          cached_ivf_index, ivf_topk_indexed)
+
+    part = str(tmp_path / "ivf_part")
+    build_ivf_artifact(emb, part, partition_by_cell=True)
+    assert any(d.startswith("cell=")
+               for d in os.listdir(os.path.join(part, "assigned")))
+
+    # probe filter is partition pruning, not a data filter
+    scan = spark.read.parquet(os.path.join(part, "assigned")).filter("cell = 0")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
+
+    # identical results vs the default (single-dir) cached layout
+    flat = cached_ivf_index(spark, emb, SF_DIR)
+    for nprobe in (1, 2):
+        a = sorted(map(tuple, ivf_topk_indexed(spark, part, nprobe=nprobe).collect()))
+        b = sorted(map(tuple, ivf_topk_indexed(spark, flat, nprobe=nprobe).collect()))
+        assert a == b, f"nprobe={nprobe}"
+
+    # auto mode at test scale: cells avg ~50 rows -> stays unpartitioned
+    auto = str(tmp_path / "ivf_auto")
+    build_ivf_artifact(emb, auto)
+    assert not any(d.startswith("cell=")
+                   for d in os.listdir(os.path.join(auto, "assigned")))
