@@ -72,9 +72,9 @@ class _CaidaAsRel(SparkCrawler):
         rows = self.m(
             docs.filter(~F.trim(line).startswith("#"))
             .select(
-                F.element_at(parts, 1).cast("long").alias("left_asn"),
-                F.element_at(parts, 2).cast("long").alias("right_asn"),
-                F.element_at(parts, 3).cast("long").alias("rel"),
+                F.try_element_at(parts, F.lit(1)).try_cast("long").alias("left_asn"),
+                F.try_element_at(parts, F.lit(2)).try_cast("long").alias("right_asn"),
+                F.try_element_at(parts, F.lit(3)).try_cast("long").alias("rel"),
             )
             .filter(F.col("left_asn").isNotNull()
                     & F.col("right_asn").isNotNull())

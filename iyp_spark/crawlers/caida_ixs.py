@@ -80,7 +80,7 @@ class CaidaIxs(SparkCrawler):
             .filter((F.col("pred") == "EXTERNAL_ID")
                     & (F.col("obj_label") == "PeeringdbIXID"))
             .select(
-                F.col("obj_key").cast("long").alias("pdb_extid"),
+                F.col("obj_key").try_cast("long").alias("pdb_extid"),
                 F.col("subj_key").alias("pdb_ixp"),
             )
             .dropDuplicates(["pdb_extid"])
@@ -160,7 +160,7 @@ class CaidaIxAsns(SparkCrawler):
             .filter((F.col("pred") == "EXTERNAL_ID")
                     & (F.col("obj_label") == "CaidaIXID"))
             .select(
-                F.col("obj_key").cast("long").alias("caida_extid"),
+                F.col("obj_key").try_cast("long").alias("caida_extid"),
                 F.col("subj_key").alias("ixp"),
             )
             .dropDuplicates(["caida_extid"])

@@ -111,7 +111,7 @@ class _DnsTopCrawler(SparkCrawler):
             .filter((F.col("pred") == "RANK")
                     & (F.col("subj_label") == "DomainName"))
             .select(F.col("subj_key").alias("name"),
-                    F.col("props")["rank"].cast("long").alias("rank"))
+                    F.col("props")["rank"].try_cast("long").alias("rank"))
             .filter(F.col("rank") <= RANK_THRESHOLD)
             .select("name")
             .distinct()
@@ -148,7 +148,7 @@ class CloudflareDnsTopAses(_DnsTopCrawler):
                     F.lit("clientASN"), F.col("e.clientASN").cast("string"),
                     F.lit("clientASName"), F.col("e.clientASName"),
                     # entry['value'] = float(entry['value']) (dns_top_ases.py:42)
-                    F.lit("value"), F.col("e.value").cast("double").cast("string"),
+                    F.lit("value"), F.col("e.value").try_cast("double").cast("string"),
                 ),
                 lambda k, v: v.isNotNull(),
             ).alias("link_props"),
@@ -175,7 +175,7 @@ class CloudflareDnsTopLocations(_DnsTopCrawler):
                 F.create_map(
                     F.lit("clientCountryAlpha2"), F.col("e.clientCountryAlpha2"),
                     F.lit("clientCountryName"), F.col("e.clientCountryName"),
-                    F.lit("value"), F.col("e.value").cast("double").cast("string"),
+                    F.lit("value"), F.col("e.value").try_cast("double").cast("string"),
                 ),
                 lambda k, v: v.isNotNull(),
             ).alias("link_props"),

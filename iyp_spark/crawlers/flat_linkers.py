@@ -40,7 +40,7 @@ class BgpToolsAsNames(SparkCrawler):
             .select("r.*")
             # asn field must start with 'AS' (:57-60)
             .filter(F.col("asn").startswith("AS"))
-            .withColumn("asnum", F.substring("asn", 3, 12).cast("long"))
+            .withColumn("asnum", F.substring("asn", 3, 12).try_cast("long"))
             .filter(F.col("asnum").isNotNull())
         )
         named = rows.filter(F.col("name") != "ERR_AS_NAME_NOT_FOUND")
@@ -71,9 +71,9 @@ class EmileabenAsNames(SparkCrawler):
         parts = F.split(F.trim(self.text_span(0)), r"\|")
         rows = self.m(
             docs.select(
-                F.element_at(parts, 1).cast("long").alias("asn"),
-                F.element_at(parts, 2).alias("contributor"),
-                F.element_at(parts, 3).alias("name"),
+                F.try_element_at(parts, F.lit(1)).try_cast("long").alias("asn"),
+                F.try_element_at(parts, F.lit(2)).alias("contributor"),
+                F.try_element_at(parts, F.lit(3)).alias("name"),
             )
             .filter(F.col("asn").isNotNull() & F.col("name").isNotNull())
             .withColumn(

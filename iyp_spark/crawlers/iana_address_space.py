@@ -76,8 +76,8 @@ class IanaAddressSpace(SparkCrawler):
                 "pfx",
                 F.when(
                     F.col("kind") == "v4",
-                    F.concat(F.split("prefix", "/")[0].cast("int"),
-                             F.lit(".0.0.0/"), F.split("prefix", "/")[1]),
+                    F.concat(F.split("prefix", "/")[0].try_cast("int"),
+                             F.lit(".0.0.0/"), F.try_element_at(F.split("prefix", "/"), F.lit(2))),
                 ).otherwise(F.col("prefix")),
             )
             .withColumn("pfx", compress_prefix(F.col("pfx")))  # ip_network().compressed

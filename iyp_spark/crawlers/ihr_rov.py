@@ -72,7 +72,7 @@ class IhrRov(SparkCrawler):
         # status/origin links only where asn == originasn (string compare, :89)
         own = self.m(
             rows.filter(F.col("asn_id") == F.col("originasn_id"))
-            .withColumn("originasn", F.col("originasn_id").cast("long"))
+            .withColumn("originasn", F.col("originasn_id").try_cast("long"))
             .filter(F.col("originasn").isNotNull())
         )
         tags = own.select(
@@ -82,7 +82,7 @@ class IhrRov(SparkCrawler):
                 F.concat(F.lit("IRR "), F.col("irr_status")),
             )).alias("tag"),
         )
-        deps = rows.withColumn("asn", F.col("asn_id").cast("long")).filter(
+        deps = rows.withColumn("asn", F.col("asn_id").try_cast("long")).filter(
             F.col("asn").isNotNull()
         )
         nodes = [

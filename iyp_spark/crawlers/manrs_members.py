@@ -40,15 +40,15 @@ class ManrsMembers(SparkCrawler):
         parts = F.split(line, ",")  # naive split, like the reference (:76)
         rows = self.m(
             docs.select(
-                F.trim(parts[0]).alias("org"),
-                F.trim(parts[1]).alias("areas"),
-                F.trim(parts[2]).alias("asns"),
-                *[F.trim(parts[3 + i]).alias(f"act{i + 1}") for i in range(4)],
+                F.trim(F.try_element_at(parts, F.lit(1))).alias("org"),
+                F.trim(F.try_element_at(parts, F.lit(2))).alias("areas"),
+                F.trim(F.try_element_at(parts, F.lit(3))).alias("asns"),
+                *[F.trim(F.try_element_at(parts, F.lit(4 + i))).alias(f"act{i + 1}") for i in range(4)],
             )
             .filter(F.col("org") != "Organization")  # header (:73-75)
             .filter(F.col("asns") != "")  # no ASN → skip (:78-80)
             .select("*", F.explode(F.split("asns", ";")).alias("asn_s"))
-            .withColumn("asn", F.trim("asn_s").cast("long"))
+            .withColumn("asn", F.trim("asn_s").try_cast("long"))
             .filter(F.col("asn").isNotNull())
             .withColumn("manrs", F.lit("MANRS"))
         )

@@ -58,7 +58,7 @@ class NroDelegatedStats(SparkCrawler):
 
         # --- asn records: link only existing AS nodes (S8 + J6) ---
         existing = self.store.read_nodes("AS").select(
-            F.col("key").cast("long").alias("asn")
+            F.col("key").try_cast("long").alias("asn")
         )
         asn_rec = rec.filter(F.col("type") == "asn").withColumn(
             "start_asn", F.col("start").try_cast("long")

@@ -46,7 +46,7 @@ class PeeringdbFac(SparkCrawler):
             self.store.read_triples()
             .filter((F.col("pred") == "EXTERNAL_ID")
                     & (F.col("obj_label") == "PeeringdbOrgID"))
-            .select(F.col("obj_key").cast("long").alias("org_extid"),
+            .select(F.col("obj_key").try_cast("long").alias("org_extid"),
                     F.col("subj_key").alias("org"))
             .dropDuplicates(["org_extid"])
         )

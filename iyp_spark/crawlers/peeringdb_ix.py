@@ -68,7 +68,7 @@ class PeeringdbIx(SparkCrawler):
             .filter((F.col("pred") == "EXTERNAL_ID")
                     & (F.col("obj_label") == "PeeringdbOrgID"))
             .select(
-                F.col("obj_key").cast("long").alias("org_extid"),
+                F.col("obj_key").try_cast("long").alias("org_extid"),
                 F.col("subj_key").alias("org"),
             )
             .dropDuplicates(["org_extid"])

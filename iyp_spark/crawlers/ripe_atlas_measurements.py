@@ -53,7 +53,7 @@ class RipeAtlasMeasurements(SparkCrawler):
         return (
             self.store.read_nodes("AtlasProbe")
             .filter(F.col("props")["status_id"].isin("0", "3"))
-            .select(F.col("key").cast("long").alias("prb_id"))
+            .select(F.col("key").try_cast("long").alias("prb_id"))
         )
 
     def transform(self, docs: DataFrame):

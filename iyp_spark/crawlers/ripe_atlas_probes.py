@@ -58,8 +58,8 @@ class RipeAtlasProbes(SparkCrawler):
 
     def transform(self, docs: DataFrame):
         payload = self.text_span(0)
-        lon = F.col("geometry.coordinates")[0]
-        lat = F.col("geometry.coordinates")[1]
+        lon = F.try_element_at(F.col("geometry.coordinates"), F.lit(1))
+        lat = F.try_element_at(F.col("geometry.coordinates"), F.lit(2))
         probes = self.m(
             docs.select(
                 F.explode(F.from_json(payload, PAGE_SCHEMA)["results"])

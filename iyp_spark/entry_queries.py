@@ -427,6 +427,54 @@ def hourly_event_windows(spark, sf_dir):
     )
 
 
+@q("events_last_order_asof", """
+WITH od AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+            FROM orders WHERE o_custkey >= 5 GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, e.ts, od.last_orderkey AS last_orderkey_asof
+FROM events e ASOF LEFT JOIN od
+  ON e.user_id = od.o_custkey AND od.o_orderdate <= e.ts
+""")
+def events_last_order_asof(spark, sf_dir):
+    # As-of join (ops/temporal.py): for every event, the user's most
+    # recent order at or before the event time — via the union-sort
+    # formulation (one shuffle, zero row amplification), checked against
+    # DuckDB's native ASOF LEFT JOIN. Orders restricted to custkey >= 5
+    # so the no-match → null LEFT branch is exercised too.
+    from .ops.temporal import asof_join
+    e = tbl(spark, sf_dir, "events")
+    od = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") >= 5)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    return asof_join(
+        e.select("event_id", "user_id", "ts"), od,
+        left_on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_values=["last_orderkey"],
+    ).select("event_id", "user_id", "ts", "last_orderkey_asof")
+
+
+@q("event_rollup_day_type", """
+SELECT CAST(ts AS DATE) AS d, event_type,
+       COUNT(*) AS n, SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents
+FROM events GROUP BY ROLLUP(d, event_type)
+""")
+def event_rollup_day_type(spark, sf_dir):
+    # Multi-granularity rollup (hypertable-style day → grand-total
+    # hierarchy) in ONE pass: Spark ROLLUP = partial-agg-friendly
+    # GROUPING SETS, no union of re-scans. The measure is integer cents
+    # (exact, order-independent) so the subtotal rows hash-match DuckDB.
+    e = tbl(spark, sf_dir, "events")
+    return (
+        e.select(F.to_date("ts").alias("d"), "event_type",
+                 F.floor(F.col("value") * 100).cast("long").alias("cents"))
+        .rollup("d", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("value_cents"))
+    )
+
+
 # =====================================================================
 # Training-data ops: text analysis (ops/text.py)
 # =====================================================================
@@ -758,6 +806,59 @@ FROM documents
 def multimodal_decode_meta(spark, sf_dir):
     from .ops.multimodal import decode_media, docs_as_media
     return decode_media(docs_as_media(tbl(spark, sf_dir, "documents")))
+
+
+@q("multimodal_features", """
+SELECT doc_id, CAST(i AS INT) AS dim_i,
+       ((octet_length(encode(text)) * (2 * i + 3)) % 997) / 1000.0 AS feature
+FROM documents, unnest(range(0, 8)) AS t(i)
+""")
+def multimodal_features(spark, sf_dir):
+    # Feature-extract stage (stub encoder, real Arrow contract): the
+    # array<double> output feeds ops.similarity / ops.dedup directly.
+    # Flattened with posexplode for the element-exact oracle compare.
+    from .ops.multimodal import docs_as_media, extract_features
+    feats = extract_features(
+        docs_as_media(tbl(spark, sf_dir, "documents")), dim=8)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("dim_i", "feature"))
+
+
+@q("multimodal_resize", """
+WITH d AS (
+  SELECT doc_id,
+         GREATEST(octet_length(encode(text)) % 640, 1) AS src_w,
+         GREATEST((octet_length(encode(text)) * 7) % 480, 1) AS src_h
+  FROM documents),
+s AS (
+  SELECT doc_id, src_w, src_h,
+         LEAST(1000 * 224 // src_w, 1000 * 224 // src_h, 1000) AS scale_1000
+  FROM d)
+SELECT doc_id,
+       CAST(src_w AS INT) AS src_w, CAST(src_h AS INT) AS src_h,
+       CAST(GREATEST(src_w * scale_1000 // 1000, 1) AS INT) AS out_w,
+       CAST(GREATEST(src_h * scale_1000 // 1000, 1) AS INT) AS out_h,
+       CAST(scale_1000 AS INT) AS scale_1000
+FROM s
+""")
+def multimodal_resize(spark, sf_dir):
+    # Fit-to-box resize metadata (all-integer math — oracle-exact).
+    from .ops.multimodal import docs_as_media, resize_media
+    return resize_media(docs_as_media(tbl(spark, sf_dir, "documents")),
+                        max_w=224, max_h=224)
+
+
+@q("multimodal_frame_sample", """
+SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 40 AS INT) AS frame_ms
+FROM documents,
+     unnest(range(0, octet_length(encode(text)) % 30 + 1, 5)) AS t(i)
+""")
+def multimodal_frame_sample(spark, sf_dir):
+    # Frame sampling: variable-cardinality mapInPandas output (rows out
+    # != rows in), the ffmpeg keyframe-extractor shape.
+    from .ops.multimodal import docs_as_media, sample_frames
+    return sample_frames(docs_as_media(tbl(spark, sf_dir, "documents")),
+                         every=5)
 
 
 # =====================================================================

@@ -60,3 +60,132 @@ def docs_as_media(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
+
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("features", T.ArrayType(T.DoubleType(), False), False),
+])
+
+
+def extract_features(docs_with_payload: DataFrame, dim: int = 8) -> DataFrame:
+    """(doc_id, payload binary) → fixed-``dim`` feature vector, the stage a
+    real pipeline runs a vision/audio encoder in (CLIP, wav2vec, ...).
+
+    The encoder is a STUB (deterministic modular projection of the byte
+    length — exact in double, so the DuckDB oracle matches bitwise); the
+    plumbing is real: Arrow batches in, a numpy (batch × dim) matrix built
+    vectorized per batch, fixed-width ``array<double>`` out. The output
+    column is drop-in compatible with ops.similarity / ops.dedup embedding
+    inputs, so fake features flow through the real ANN / near-dup path.
+
+    Scale path: embarrassingly parallel map, no shuffle; batch size bounds
+    peak memory (dim doubles per row); a real GPU encoder slots into the
+    same mapInPandas contract with spark.task.resource.gpu.amount set.
+    """
+    import numpy as np
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        coef = np.arange(dim) * 2 + 3  # (dim,)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = pdf["payload"].map(len).to_numpy()[:, None]  # (n,1)
+            feats = (lens * coef[None, :]) % 997 / 1000.0  # (n,dim) exact
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "features": list(feats),
+            })
+
+    return docs_with_payload.mapInPandas(encode, FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("src_w", T.IntegerType(), False),
+    T.StructField("src_h", T.IntegerType(), False),
+    T.StructField("out_w", T.IntegerType(), False),
+    T.StructField("out_h", T.IntegerType(), False),
+    T.StructField("scale_1000", T.IntegerType(), False),
+])
+
+
+def resize_media(docs_with_payload: DataFrame,
+                 max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """Aspect-preserving fit-to-box resize metadata: decode dims (stub),
+    compute the integer scale that fits (src_w, src_h) inside
+    (max_w, max_h) without upscaling, emit output dims.
+
+    All-integer math (scale in 1/1000ths, floor at each step) so the
+    DuckDB oracle is exact. A real implementation resamples pixels in the
+    same mapInPandas pass and emits a binary column alongside — the
+    schema/batch contract here is that stage minus the pixel work.
+
+    Scale path: pure map, no shuffle; output is O(1) per row.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = pdf["payload"].map(len).to_numpy()
+            # stub decode dims, clamped to ≥1 (a 0-dim image is undecodable)
+            src_w = np.maximum(lens % 640, 1).astype("int64")
+            src_h = np.maximum((lens * 7) % 480, 1).astype("int64")
+            scale = np.minimum(
+                np.minimum(1000 * max_w // src_w, 1000 * max_h // src_h),
+                1000,
+            )
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "src_w": src_w.astype("int32"),
+                "src_h": src_h.astype("int32"),
+                "out_w": np.maximum(src_w * scale // 1000, 1).astype("int32"),
+                "out_h": np.maximum(src_h * scale // 1000, 1).astype("int32"),
+                "scale_1000": scale.astype("int32"),
+            })
+
+    return docs_with_payload.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame_ms", T.IntegerType(), False),
+])
+
+
+def sample_frames(docs_with_payload: DataFrame, every: int = 5) -> DataFrame:
+    """Video frame sampling: one output row per kept frame (every
+    ``every``-th frame of the stub-decoded ``n_frames``), with its
+    timestamp at 25 fps. Variable-cardinality mapInPandas output — the
+    shape a real ffmpeg keyframe extractor has (rows out ≠ rows in),
+    built with numpy repeat/cumcount, not a per-row Python loop.
+
+    Scale path: map-only fan-out; output cardinality is bounded by
+    n_frames/every per doc, no shuffle until a downstream consumer
+    aggregates.
+    """
+    import numpy as np
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = pdf["payload"].map(len).to_numpy()
+            n_frames = lens % 30 + 1
+            n_kept = (n_frames + every - 1) // every  # ceil(n/every)
+            doc_ids = np.repeat(pdf["doc_id"].to_numpy(), n_kept)
+            # per-doc 0,1,2,... then scaled by `every`
+            offsets = np.arange(n_kept.sum()) - np.repeat(
+                np.concatenate(([0], np.cumsum(n_kept)[:-1])), n_kept)
+            frame_idx = (offsets * every).astype("int32")
+            yield pd.DataFrame({
+                "doc_id": doc_ids,
+                "frame_idx": frame_idx,
+                "frame_ms": frame_idx * 40,
+            })
+
+    return docs_with_payload.mapInPandas(sample, FRAMES_SCHEMA)

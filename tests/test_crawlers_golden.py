@@ -307,3 +307,54 @@ def test_dnsgraph_alias_cycle_no_spurious_cname(store):
     assert ("a.cyc.example", "203.0.113.5", "A") in got
     assert ("b.cyc.example", "203.0.113.5", "CNAME") in got
     assert ("a.cyc.example", "203.0.113.5", "CNAME") not in got
+
+
+def test_ansi_malformed_lines_never_abort(store):
+    """ANSI-mode hazard (found by the round-4 verify drive): Catalyst may
+    evaluate a projection's cast/element_at BEFORE the comment-line filter
+    (CombineFilters + constraint inference reorder predicates), so under
+    Spark 4's default ansi.enabled=true a '#'-comment or short line killed
+    the whole batched build with CAST_INVALID_INPUT /
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT. All span-derived casts/indexing now
+    use try_cast / try_element_at: malformed rows become nulls and are
+    dropped by the existing filters — the reference's warn-skip semantics
+    (iyp/crawlers/caida/__init__.py:34-38) — regardless of plan order."""
+    import pytest as _pytest
+
+    from iyp_spark.crawlers import REGISTRY
+    from iyp_spark.fixtures import FixtureDoc, _spans, docs_to_rows
+    from iyp_spark.schema import DOCUMENTS_SCHEMA
+
+    spark = store.spark
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+    cases = {
+        # (crawler, [lines], expected surviving triple count)
+        "caida.as_relationships_v4": (
+            ["# source: topology inference", "1|2|0", "not-a-line"], 1),
+        "manrs.members": (
+            ["Organization,Areas,ASNs,a,b,c,d",   # header, skipped
+             "short,row",                          # too few columns
+             "Acme Corp,Global,65001,Yes,Yes,No,No"], None),
+        "ripe.as_names": (["65000 \"Example AS\", FR", "#cmt"], None),
+    }
+    for name, (lines, want) in cases.items():
+        if name not in REGISTRY:
+            continue
+        docs = [
+            FixtureDoc(f"ansi/{i}", name, _spans([("text", ln)]))
+            for i, ln in enumerate(lines)
+        ]
+        df = spark.createDataFrame(docs_to_rows(docs), DOCUMENTS_SCHEMA)
+        try:
+            _, triples = REGISTRY[name](store).transform(df)
+        except NotImplementedError:
+            continue
+        allt = triples[0]
+        for t in triples[1:]:
+            allt = allt.unionByName(t)
+        n = allt.count()  # must not raise, malformed rows dropped
+        if want is not None:
+            assert n == want, (name, n)
+        else:
+            assert n >= 0

@@ -138,3 +138,112 @@ def test_ivf_cell_partitioned_layout(spark, emb, tmp_path):
     build_ivf_artifact(emb, auto)
     assert not any(d.startswith("cell=")
                    for d in os.listdir(os.path.join(auto, "assigned")))
+
+
+# ---------------------------------------------------------------- multimodal
+def test_extract_features_feeds_similarity(spark):
+    """The feature-extract output column is drop-in for the real ANN path:
+    fixed dim, non-null doubles, and brute-force cosine top-k runs on it."""
+    from iyp_spark.ops.multimodal import docs_as_media, extract_features
+    from iyp_spark.ops.similarity import cosine_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    feats = extract_features(docs_as_media(docs), dim=8)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r["features"]) == 8 for r in rows)
+    # deterministic: same payload → same vector
+    again = {r["doc_id"]: r["features"] for r in feats.collect()}
+    assert all(again[r["doc_id"]] == r["features"] for r in rows)
+
+    renamed = feats.selectExpr("doc_id AS vec_id",
+                               "CAST(features AS ARRAY<FLOAT>) AS embedding")
+    topk = cosine_topk(renamed, k=3)
+    assert topk.count() > 0
+
+
+def test_resize_media_fits_box_never_upscales(spark):
+    from iyp_spark.ops.multimodal import docs_as_media, resize_media
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = resize_media(docs_as_media(docs), max_w=224, max_h=224).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert 1 <= r["out_w"] <= 224 and 1 <= r["out_h"] <= 224
+        assert r["scale_1000"] <= 1000  # fit only, never upscale
+        if r["scale_1000"] == 1000:     # already fits → dims unchanged
+            assert (r["out_w"], r["out_h"]) == (r["src_w"], r["src_h"])
+
+
+def test_sample_frames_variable_cardinality(spark):
+    """Rows out != rows in; every doc contributes ceil(n_frames/every)
+    frames at the right timestamps."""
+    from iyp_spark.ops.multimodal import docs_as_media, sample_frames
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    media = docs_as_media(docs)
+    out = sample_frames(media, every=5)
+    per_doc = {r["doc_id"]: r["cnt"]
+               for r in out.groupBy("doc_id").count()
+               .withColumnRenamed("count", "cnt").collect()}
+    lens = {r["doc_id"]: len(r["payload"]) for r in media.collect()}
+    assert per_doc.keys() == lens.keys()
+    for d, n in lens.items():
+        n_frames = n % 30 + 1
+        assert per_doc[d] == -(-n_frames // 5)  # ceil
+    one = out.filter("frame_idx = 5").limit(1).collect()
+    assert not one or one[0]["frame_ms"] == 200  # 25 fps → 40ms per frame
+
+
+def test_multimodal_plans_are_arrow_not_per_row(spark):
+    """All multimodal stages go through mapInPandas (Arrow), never
+    BatchEvalPython (per-row pickle)."""
+    from iyp_spark.ops.multimodal import (decode_media, docs_as_media,
+                                          extract_features, resize_media,
+                                          sample_frames)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    media = docs_as_media(docs)
+    for df in (decode_media(media), extract_features(media),
+               resize_media(media), sample_frames(media)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" in plan
+
+
+# ---------------------------------------------------------------- temporal
+def test_asof_join_semantics(spark):
+    """<= boundary, latest-wins, and LEFT null on no-prior-row."""
+    from datetime import datetime as dt
+
+    from iyp_spark.ops.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 10), "a"), (1, dt(2024, 1, 20), "b"),
+         (2, dt(2024, 1, 5), "c"),  # before any right row for key 2
+         (3, dt(2024, 1, 1), "d")],  # key absent from right
+        "k bigint, t timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, dt(2024, 1, 10), 100),   # equal ts -> matches (<=)
+         (1, dt(2024, 1, 15), 150),
+         (2, dt(2024, 1, 7), 200)],
+        "k bigint, t timestamp, v int")
+    got = {r["tag"]: r["v_asof"] for r in asof_join(
+        left, right, "k", "k", "t", "t", ["v"]).collect()}
+    assert got == {"a": 100, "b": 150, "c": None, "d": None}
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-sort formulation shuffles ONCE (on the key) — no join
+    node, no row-amplifying range condition, no Python."""
+    from iyp_spark.entry_queries import QUERIES
+
+    df = QUERIES["events_last_order_asof"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # every exchange in the final as-of stage is the _k hash partition or
+    # an agg exchange from the right-side dedupe — never a broadcast-less
+    # sort-merge join
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("hashpartitioning(_k") == 1
