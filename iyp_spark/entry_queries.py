@@ -480,6 +480,22 @@ def event_rollup_day_type(spark, sf_dir):
 # =====================================================================
 _TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 
+@q("doc_bpe_token_count", f"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'))
+           AS n_bpe_tokens,
+       len({_TOKS_SQL}) AS n_ws_tokens
+FROM documents
+""")
+def doc_bpe_token_count(spark, sf_dir):
+    # BPE-ish pre-tokenizer piece count next to the whitespace count — the
+    # token-budget estimate for pricing documents. Same simplified GPT-2
+    # pattern on both engines (Java regex vs RE2 agree on this subset).
+    from .ops.text import bpe_token_count
+    return bpe_token_count(tbl(spark, sf_dir, "documents"))
+
+
 @q("doc_token_stats", f"""
 SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars,
        FLOOR(length(replace(text, ' ', '')) / len(toks) * 10000) / 10000 AS avg_token_len

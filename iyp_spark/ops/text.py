@@ -27,6 +27,28 @@ def tokens_col(text_col="text") -> F.Column:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, simplified to the subset that means
+# the same thing in Java regex (Spark) and RE2 (DuckDB oracle): common
+# English contractions, space-prefixed letter runs, digit runs, punctuation
+# runs, whitespace runs. (The upstream pattern's `\s+(?!\S)` lookahead is
+# not RE2-expressible and only affects trailing-space split granularity.)
+BPE_ISH_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count(docs: DataFrame) -> DataFrame:
+    """doc_id, n_bpe_tokens (BPE-ish pre-tokenizer pieces), n_ws_tokens
+    (whitespace tokens) — the two token-budget estimates a training-data
+    pipeline prices documents with. Pure native regexp, codegen'd."""
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0))
+        .alias("n_bpe_tokens"),
+        F.size(tokens_col()).alias("n_ws_tokens"),
+    )
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """doc_id, n_tokens, n_chars, avg_token_len."""
     toks = tokens_col()

@@ -247,3 +247,21 @@ def test_asof_join_single_shuffle(spark):
     # sort-merge join
     assert "SortMergeJoin" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("hashpartitioning(_k") == 1
+
+
+def test_bpe_token_count_pattern(spark):
+    """BPE-ish pre-tokenizer counts: contractions split, letter/digit/
+    punct runs counted separately, unicode letters are one piece."""
+    from iyp_spark.ops.text import bpe_token_count
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, world! it's 42 degrees"),
+         (2, ""), (3, "  a  b  "), (4, "naïve café 手紙")],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_bpe_tokens"], r["n_ws_tokens"])
+           for r in bpe_token_count(docs).collect()}
+    # parity values pinned against DuckDB's RE2 on the same pattern
+    assert got[1] == (8, 5)
+    assert got[2] == (0, 0)
+    assert got[3] == (5, 2)
+    assert got[4] == (3, 3)
