@@ -11,7 +11,8 @@ Env knobs:
   SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     cores for headline queries (default 32)
   SPARK_GRAFT_SCALING  "0" to skip the two-parallelism probe (default on)
-  SPARK_GRAFT_KG_SCALE fixture-corpus multiplier for the KG probe (default 30)
+  SPARK_GRAFT_KG_SCALE fixture-corpus multiplier for the KG probe
+                       (default 12000 → 33.6M docs)
 """
 
 from __future__ import annotations
