@@ -19,7 +19,7 @@ residual imbalance from giant duplicate clusters.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens_col, trunc4
@@ -65,7 +65,8 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
 
 
-def minhash_signatures(sh: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS,
+                       k: int = 3) -> DataFrame:
     """(doc_id, band, sig): per-band min-hash — band b's hash of a shingle
     is an 8-hex-char window of a 64-char digest pool built from TWO md5
     calls (md5('0:'+sh) || md5('1:'+sh)), so the per-shingle hash work is
@@ -75,20 +76,40 @@ def minhash_signatures(sh: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     string MIN == numeric MIN, and md5+substr reproduce identically in
     DuckDB, keeping the oracle hash-exact.
 
-    All band minima are computed in ONE groupBy pass (n_bands min-aggs per
-    row) instead of exploding each shingle ×n_bands first: the aggregate
-    consumes 1/n_bands the rows, and the (tiny) shuffle carries one row
-    per doc instead of one per (doc, band). The trailing stack() restores
-    the (doc_id, band, sig) long shape the band-bucket join expects."""
-    pool = F.concat(
-        F.md5(F.concat_ws(":", F.lit(0), F.col("sh"))),
-        F.md5(F.concat_ws(":", F.lit(1), F.col("sh"))),
+    The whole signature is MAP-SIDE: shingling, hashing, and the per-band
+    minima all run over the in-row shingle ARRAY with higher-order
+    functions (`transform` + `array_min`), so there is no explode (no
+    ~n_tokens× row amplification through the hash stage) and no groupBy —
+    zero shuffle until the band-bucket join. This replaces the earlier
+    explode→groupBy formulation: min over a multiset needs neither
+    distinct shingles nor an aggregation boundary, and string MIN over the
+    same windows yields bit-identical signatures. The trailing stack()
+    keeps the (doc_id, band, sig) long shape the band-bucket join expects."""
+    d = docs.select("doc_id", tokens_col().alias("_toks"))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_toks") - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(F.col("_toks"), i, k), " "),
     )
-    mins = sh.withColumn("_h", pool).groupBy("doc_id").agg(
+    pool = F.transform(
+        sh,
+        lambda s: F.concat(
+            F.md5(F.concat_ws(":", F.lit(0), s)),
+            F.md5(F.concat_ws(":", F.lit(1), s)),
+        ),
+    )
+    # staged select: `_pool` is referenced by all n_bands minima, and
+    # md5 inside a higher-order transform is not "cheap", so Catalyst's
+    # CollapseProject keeps the boundary instead of re-inlining the
+    # digest work 8× (fenced by test_minhash_plan_single_md5_pass)
+    pooled = d.select("doc_id", pool.alias("_pool"))
+    mins = pooled.select(
+        "doc_id",
         *[
-            F.min(F.substring("_h", 8 * b + 1, 8)).alias(f"m{b}")
+            F.array_min(
+                F.transform("_pool", lambda p: F.substring(p, 8 * b + 1, 8))
+            ).alias(f"m{b}")
             for b in range(n_bands)
-        ]
+        ],
     )
     return mins.select(
         "doc_id",
@@ -99,9 +120,30 @@ def minhash_signatures(sh: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """MinHash-LSH near-dup candidates: docs sharing any band signature."""
-    sig = minhash_signatures(shingles(docs))
+def lsh_candidate_pairs(docs: DataFrame,
+                        max_bucket: int | None = None) -> DataFrame:
+    """MinHash-LSH near-dup candidates: docs sharing any band signature.
+
+    ``max_bucket`` bounds the self-join's worst case: a bucket of n docs
+    emits n·(n-1)/2 pairs, so one degenerate hot bucket — boilerplate
+    pages, empty-ish docs whose shingle sets collapse to the same minima —
+    turns the join quadratic at corpus scale (AQE skew-splitting spreads
+    the *work* across tasks but cannot shrink the *output*). Buckets
+    larger than the cap are dropped entirely: a giant bucket is an
+    exact/boilerplate cluster that `exact_dedup_groups` already catches at
+    linear cost, and near-dup recall for it is preserved by the other
+    n_bands-1 bands anyway. The bucket-size count is a window over the
+    same (band, sig) keys the join shuffles on, so AQE reuses one
+    exchange — the cap costs no extra shuffle. Default None = exhaustive
+    (the oracle-checked semantics); at 100 TB set a few thousand."""
+    sig = minhash_signatures(docs)
+    if max_bucket is not None:
+        bw = Window.partitionBy("band", "sig")
+        sig = (
+            sig.withColumn("_bn", F.count(F.lit(1)).over(bw))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -149,33 +191,46 @@ def jaccard_verified_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash: per bit position i (1..bits), majority vote over the token
     multiset of ±1 keyed on the i-th hex digit of md5(token); signature =
-    the assembled integer. Near-dups land within small Hamming distance."""
-    toks = docs.select(
-        "doc_id", F.explode(tokens_col()).alias("t")
-    ).withColumn("h", F.md5("t"))
-    per_bit = (
-        toks.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("i"),
-            "h",
-        )
-        .withColumn(
-            "contrib",
-            F.when(
-                F.substring(F.col("h"), F.col("i").cast("int"), 1).isin(
-                    *list("89abcdef")
-                ),
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.sum("contrib").alias("s"))
+    the assembled integer. Near-dups land within small Hamming distance.
+
+    Entirely MAP-SIDE: one md5 per token into an in-row digest array, then
+    each bit's vote is ``2·|{h: digit_i(h) ∈ 8..f}| − n_tokens`` via
+    `filter`+`size` over that array — no explode (the old formulation
+    amplified rows ×bits×n_tokens) and no aggregation shuffle at all.
+    Zero-token docs are excluded to keep the old explode semantics (they
+    produced no rows, and a majority vote over nothing is meaningless)."""
+    d = docs.select("doc_id", tokens_col().alias("_toks")).filter(
+        F.size("_toks") > 0
     )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1, i - 1)")).otherwise(0)
-        ).cast("long").alias("simhash")
+    # staged select: one digest pass shared by all `bits` votes (same
+    # CollapseProject reasoning as minhash_signatures — md5-in-transform
+    # is not cheap, so the boundary holds; plan-fenced)
+    pooled = d.select(
+        "doc_id",
+        F.size("_toks").alias("_n"),
+        F.transform("_toks", F.md5).alias("_pool"),
     )
+    hexhi = list("89abcdef")
+
+    def _hi_count(i: int) -> F.Column:
+        # NB: the HOF lambda must take exactly ONE arg — a second
+        # parameter would be bound by Spark to the ARRAY INDEX of h,
+        # silently shadowing any default-arg capture of the bit number
+        return F.size(
+            F.filter("_pool", lambda h: F.substring(h, i, 1).isin(*hexhi))
+        )
+
+    votes = [
+        F.when(
+            2 * _hi_count(i) - F.col("_n") > 0,
+            F.lit(1 << (i - 1)),
+        ).otherwise(F.lit(0))
+        for i in range(1, bits + 1)
+    ]
+    total = votes[0]
+    for v in votes[1:]:
+        total = total + v
+    return pooled.select("doc_id", total.cast("long").alias("simhash"))
 
 
 # ---------------------------------------------------------------------
@@ -225,7 +280,8 @@ def _emb_projection(b: int) -> F.Column:
 
 
 def embedding_neardup_pairs(emb: DataFrame,
-                            threshold: float = 0.99) -> DataFrame:
+                            threshold: float = 0.99,
+                            max_bucket: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup: sign-LSH (random-hyperplane) bucketing →
     band-bucket self-join for candidates → exact cosine verification.
 
@@ -257,6 +313,17 @@ def embedding_neardup_pairs(emb: DataFrame,
                ", ".join(f"{g}, band{g}" for g in range(EMB_BANDS)))
         ),
     )
+    if max_bucket is not None:
+        # same quadratic-output bound as lsh_candidate_pairs: one hot
+        # bucket (e.g. a zero-vector cluster that every hyperplane signs
+        # identically) emits n²/2 candidate rows; the count-window runs on
+        # the join's own keys, so the cap adds no shuffle
+        bw = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("_bn", F.count(F.lit(1)).over(bw))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     cand = (
         buckets.alias("a")
         .join(buckets.alias("b"),

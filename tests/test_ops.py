@@ -47,12 +47,141 @@ def test_embedding_neardup_finds_planted_pairs(spark, emb):
 def test_minhash_signatures_one_row_per_doc_band(spark):
     """The one-pass aggregation emits exactly n_bands signature rows per
     document (the shape the band-bucket join expects)."""
-    from iyp_spark.ops.dedup import N_BANDS, minhash_signatures, shingles
+    from iyp_spark.ops.dedup import N_BANDS, minhash_signatures
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    sig = minhash_signatures(shingles(docs))
+    sig = minhash_signatures(docs)
     counts = sig.groupBy("doc_id").count().select("count").distinct().collect()
     assert [r["count"] for r in counts] == [N_BANDS]
+
+
+def test_minhash_plan_single_md5_pass(spark):
+    """The map-side signature must evaluate the md5 digest pool ONCE per
+    row, not once per band: the staged `_pool` select keeps the digest
+    work out of the 8 per-band array_min projections (CollapseProject
+    would otherwise re-inline it 8×), and the whole signature stage is
+    shuffle-free — no Exchange, no aggregate, no explode/Generate."""
+    from iyp_spark.ops.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
+    sig_plan = plan.split("Scan parquet")[0]
+    assert sig_plan.count("md5") == 2, sig_plan
+    assert "Exchange" not in plan and "HashAggregate" not in plan
+    # the ONLY Generate is the trailing stack() that restores the long
+    # (doc_id, band, sig) shape — 8 rows/doc, after all hashing; the
+    # per-shingle explode the old formulation had must stay gone
+    gens = [ln for ln in plan.splitlines() if "Generate" in ln]
+    assert len(gens) == 1 and "stack" in gens[0], plan
+
+
+def test_simhash_plan_single_md5_pass(spark):
+    """simhash is likewise one map-side digest pass: md5 appears once in
+    the plan (16 bit-votes share the staged `_pool`), and there is no
+    explode or aggregation shuffle anywhere."""
+    from iyp_spark.ops.dedup import simhash
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = simhash(docs)._jdf.queryExecution().executedPlan().toString()
+    sig_plan = plan.split("Scan parquet")[0]
+    assert sig_plan.count("md5") == 1, sig_plan
+    assert "Exchange" not in plan
+    assert "Generate" not in plan and "HashAggregate" not in plan
+
+
+def test_simhash_matches_explode_reference(spark):
+    """The map-side simhash must equal an independently-written
+    explode→groupBy formulation bit-for-bit. Regression fence for the
+    HOF-lambda arity bug: a two-arg lambda in `F.filter` gets the array
+    INDEX bound to its second parameter, silently shadowing a default-arg
+    capture of the bit number (every bit then votes identically and the
+    signature collapses to 0x0000/0xFFFF)."""
+    from pyspark.sql import functions as F
+
+    from iyp_spark.ops.dedup import simhash
+    from iyp_spark.ops.text import tokens_col
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("t"))
+    ref_rows = (
+        toks.withColumn("h", F.md5("t"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.lit(16))).alias("i"),
+            "h",
+        )
+        .withColumn(
+            "c",
+            F.when(
+                F.substring(F.col("h"), F.col("i").cast("int"), 1).isin(
+                    *list("89abcdef")
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.sum("c").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(1, i - 1)"))
+                .otherwise(0)
+            ).cast("long").alias("simhash")
+        )
+        .collect()
+    )
+    ref = {r["doc_id"]: r["simhash"] for r in ref_rows}
+    assert got == ref
+    # and the signatures genuinely vary across bits (not 0x0000/0xFFFF)
+    assert any(v not in (0, 0xFFFF) for v in got.values())
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    """max_bucket bounds the LSH self-join's quadratic worst case: a hot
+    bucket (here 4 identical boilerplate docs sharing every band bucket)
+    is dropped, while normal-size buckets keep their candidate pairs."""
+    from iyp_spark.ops.dedup import lsh_candidate_pairs
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    near = "completely different text about spark partitioning and shuffles"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(1, 5)] + [(10, near), (11, near)],
+        "doc_id bigint, text string")
+
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in lsh_candidate_pairs(docs).collect()}
+    assert (10, 11) in uncapped
+    assert (1, 2) in uncapped and len(uncapped) == 6 + 1  # C(4,2) + pair
+
+    capped = {(r["id_a"], r["id_b"])
+              for r in lsh_candidate_pairs(docs, max_bucket=3).collect()}
+    assert capped == {(10, 11)}  # the 4-doc bucket exceeds the cap
+
+
+def test_embedding_neardup_bucket_cap(spark):
+    """Same bound for the sign-LSH join: a 4-vector identical cluster
+    (every hyperplane signs it the same) exceeds max_bucket=3 and is
+    dropped; the negated 2-vector cluster lands in complement buckets in
+    every band and keeps its pair."""
+    from iyp_spark.ops.dedup import embedding_neardup_pairs
+
+    e1 = [0.4, -0.3, 0.9, -0.1, 0.7, 0.2, -0.8, 0.5]
+    e2 = [-x for x in e1]
+    emb = spark.createDataFrame(
+        [(i, e1) for i in (1, 2, 3, 4)] + [(11, e2), (13, e2)],
+        "vec_id bigint, embedding array<double>")
+
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in embedding_neardup_pairs(emb).collect()}
+    assert {(1, 2), (11, 13)} <= uncapped
+
+    capped = {(r["id_a"], r["id_b"])
+              for r in embedding_neardup_pairs(emb, max_bucket=3).collect()}
+    assert (11, 13) in capped
+    assert not any(a in (1, 2, 3, 4) and b in (1, 2, 3, 4)
+                   for a, b in capped)
 
 
 def test_ivf_nprobe2_recovers_boundary_neighbors(spark, emb):
