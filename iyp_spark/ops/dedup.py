@@ -76,40 +76,30 @@ def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS,
     string MIN == numeric MIN, and md5+substr reproduce identically in
     DuckDB, keeping the oracle hash-exact.
 
-    The whole signature is MAP-SIDE: shingling, hashing, and the per-band
-    minima all run over the in-row shingle ARRAY with higher-order
-    functions (`transform` + `array_min`), so there is no explode (no
-    ~n_tokens× row amplification through the hash stage) and no groupBy —
-    zero shuffle until the band-bucket join. This replaces the earlier
-    explode→groupBy formulation: min over a multiset needs neither
-    distinct shingles nor an aggregation boundary, and string MIN over the
-    same windows yields bit-identical signatures. The trailing stack()
-    keeps the (doc_id, band, sig) long shape the band-bucket join expects."""
-    d = docs.select("doc_id", tokens_col().alias("_toks"))
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("_toks") - (k - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(F.col("_toks"), i, k), " "),
+    Formulation: explode shingles, hash on the exploded rows, then ONE
+    groupBy computing all n_bands minima as conditional aggregates. The
+    aggregation is map-side partial (hash-combine before the exchange), so
+    the shuffle carries ONE row per document — the explode's ~n_tokens×
+    row amplification never crosses the wire. A fully map-side variant
+    (per-row higher-order `transform`+`array_min`, zero shuffle) was
+    MEASURED 2-3× SLOWER despite the cleaner shuffle story: Spark's
+    higher-order array expressions are CodegenFallback — every lambda
+    element evaluation is interpreted with boxing — while the exploded
+    formulation keeps md5 and the min-aggregates inside whole-stage
+    codegen. CPU dominates a tiny per-doc shuffle at any scale, so
+    codegen wins; fenced by test_minhash_plan_single_md5_pass. The
+    trailing stack() restores the (doc_id, band, sig) long shape the
+    band-bucket join expects."""
+    sh = shingles(docs, k=k)
+    pool = F.concat(
+        F.md5(F.concat_ws(":", F.lit(0), F.col("sh"))),
+        F.md5(F.concat_ws(":", F.lit(1), F.col("sh"))),
     )
-    pool = F.transform(
-        sh,
-        lambda s: F.concat(
-            F.md5(F.concat_ws(":", F.lit(0), s)),
-            F.md5(F.concat_ws(":", F.lit(1), s)),
-        ),
-    )
-    # staged select: `_pool` is referenced by all n_bands minima, and
-    # md5 inside a higher-order transform is not "cheap", so Catalyst's
-    # CollapseProject keeps the boundary instead of re-inlining the
-    # digest work 8× (fenced by test_minhash_plan_single_md5_pass)
-    pooled = d.select("doc_id", pool.alias("_pool"))
-    mins = pooled.select(
-        "doc_id",
+    mins = sh.withColumn("_h", pool).groupBy("doc_id").agg(
         *[
-            F.array_min(
-                F.transform("_pool", lambda p: F.substring(p, 8 * b + 1, 8))
-            ).alias(f"m{b}")
+            F.min(F.substring("_h", 8 * b + 1, 8)).alias(f"m{b}")
             for b in range(n_bands)
-        ],
+        ]
     )
     return mins.select(
         "doc_id",
@@ -193,44 +183,41 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     multiset of ±1 keyed on the i-th hex digit of md5(token); signature =
     the assembled integer. Near-dups land within small Hamming distance.
 
-    Entirely MAP-SIDE: one md5 per token into an in-row digest array, then
-    each bit's vote is ``2·|{h: digit_i(h) ∈ 8..f}| − n_tokens`` via
-    `filter`+`size` over that array — no explode (the old formulation
-    amplified rows ×bits×n_tokens) and no aggregation shuffle at all.
-    Zero-token docs are excluded to keep the old explode semantics (they
-    produced no rows, and a majority vote over nothing is meaningless)."""
-    d = docs.select("doc_id", tokens_col().alias("_toks")).filter(
-        F.size("_toks") > 0
-    )
-    # staged select: one digest pass shared by all `bits` votes (same
-    # CollapseProject reasoning as minhash_signatures — md5-in-transform
-    # is not cheap, so the boundary holds; plan-fenced)
-    pooled = d.select(
-        "doc_id",
-        F.size("_toks").alias("_n"),
-        F.transform("_toks", F.md5).alias("_pool"),
-    )
+    Formulation: one token explode, ONE groupBy with `bits` conditional
+    ±1 sums (bit i's vote reads the i-th hex digit of the shared `_h`
+    digest column), then the signature assembles from the wide row. The
+    md5 is evaluated once per token row — the Project producing `_h` sits
+    below the aggregate and Catalyst does not inline it into the `bits`
+    sum expressions (plan-fenced) — and the aggregation is map-side
+    partial, so the shuffle carries one row per document. Two rejected
+    formulations, both measured: (a) per-bit explode ×bits + two groupBys
+    (r3) — `bits`× the aggregate input rows for no benefit; (b) fully
+    map-side higher-order `filter`+`size` over an in-row digest array,
+    zero shuffle — 11× slower, because Spark's higher-order array
+    expressions are CodegenFallback (interpreted per element) while this
+    version stays inside whole-stage codegen end-to-end. Zero-token docs
+    produce no exploded rows and are absent from the result (a majority
+    vote over nothing is meaningless)."""
     hexhi = list("89abcdef")
-
-    def _hi_count(i: int) -> F.Column:
-        # NB: the HOF lambda must take exactly ONE arg — a second
-        # parameter would be bound by Spark to the ARRAY INDEX of h,
-        # silently shadowing any default-arg capture of the bit number
-        return F.size(
-            F.filter("_pool", lambda h: F.substring(h, i, 1).isin(*hexhi))
-        )
-
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col()).alias("t")
+    ).select("doc_id", F.md5("t").alias("_h"))
+    agg = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("_h", i, 1).isin(*hexhi), 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(1, bits + 1)
+        ]
+    )
     votes = [
-        F.when(
-            2 * _hi_count(i) - F.col("_n") > 0,
-            F.lit(1 << (i - 1)),
-        ).otherwise(F.lit(0))
+        F.when(F.col(f"s{i}") > 0, F.lit(1 << (i - 1))).otherwise(F.lit(0))
         for i in range(1, bits + 1)
     ]
     total = votes[0]
     for v in votes[1:]:
         total = total + v
-    return pooled.select("doc_id", total.cast("long").alias("simhash"))
+    return agg.select("doc_id", total.cast("long").alias("simhash"))
 
 
 # ---------------------------------------------------------------------

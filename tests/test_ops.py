@@ -56,37 +56,34 @@ def test_minhash_signatures_one_row_per_doc_band(spark):
 
 
 def test_minhash_plan_single_md5_pass(spark):
-    """The map-side signature must evaluate the md5 digest pool ONCE per
-    row, not once per band: the staged `_pool` select keeps the digest
-    work out of the 8 per-band array_min projections (CollapseProject
-    would otherwise re-inline it 8×), and the whole signature stage is
-    shuffle-free — no Exchange, no aggregate, no explode/Generate."""
+    """The signature stage must evaluate the 2-digest md5 pool ONCE per
+    exploded shingle row (not re-inlined into the 8 per-band mins), stay
+    inside whole-stage codegen (no CodegenFallback higher-order exprs in
+    the hash/agg path), and shuffle exactly once — the single groupBy
+    whose map-side partial agg reduces the wire to one row per doc."""
     from iyp_spark.ops.dedup import minhash_signatures
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
     sig_plan = plan.split("Scan parquet")[0]
     assert sig_plan.count("md5") == 2, sig_plan
-    assert "Exchange" not in plan and "HashAggregate" not in plan
-    # the ONLY Generate is the trailing stack() that restores the long
-    # (doc_id, band, sig) shape — 8 rows/doc, after all hashing; the
-    # per-shingle explode the old formulation had must stay gone
-    gens = [ln for ln in plan.splitlines() if "Generate" in ln]
-    assert len(gens) == 1 and "stack" in gens[0], plan
+    # one shuffle (the doc_id aggregation), with a partial_min map side
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_min" in plan, plan
 
 
 def test_simhash_plan_single_md5_pass(spark):
-    """simhash is likewise one map-side digest pass: md5 appears once in
-    the plan (16 bit-votes share the staged `_pool`), and there is no
-    explode or aggregation shuffle anywhere."""
+    """simhash likewise: one md5 per exploded token row shared by all 16
+    bit-vote sums (the Project below the aggregate is not inlined), one
+    aggregation shuffle with map-side partial sums."""
     from iyp_spark.ops.dedup import simhash
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = simhash(docs)._jdf.queryExecution().executedPlan().toString()
     sig_plan = plan.split("Scan parquet")[0]
     assert sig_plan.count("md5") == 1, sig_plan
-    assert "Exchange" not in plan
-    assert "Generate" not in plan and "HashAggregate" not in plan
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_sum" in plan, plan
 
 
 def test_simhash_matches_explode_reference(spark):
