@@ -1192,3 +1192,30 @@ def price_band_lpm(spark, sf_dir):
              .alias("band_revenue"))
         .orderBy("band")
     )
+
+
+# =====================================================================
+# Skew-salted equi-join (ops/skew.py; the north rule's "salted broadcast
+# hash joins to absorb hot-ASN skew")
+# =====================================================================
+@q("salted_event_segment_rollup", """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment
+""")
+def salted_event_segment_rollup(spark, sf_dir):
+    # Fact×dim join through the 8-way salt: the oracle is the PLAIN join
+    # (salting must be invisible to results). Salt hashed from the fact
+    # row's own values — deterministic under task retry. The measure is
+    # integer cents so the rollup hash-matches DuckDB exactly.
+    from .ops.skew import salted_equi_join
+
+    e = tbl(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_equi_join(e, c, "user_id", "c_custkey", n_salts=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("value_cents"),
+    )
