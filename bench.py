@@ -267,15 +267,18 @@ def _load_prev_queries(here: str) -> tuple[dict[str, float], str]:
     timings. Walks BACKWARDS past unusable artifacts — BENCH_r03.json has
     ``parsed: null`` (the driver's parser didn't survive r3's oversized
     output line, VERDICT r3 wrong #2), and a fence that silently no-ops on
-    its own baseline is worse than none."""
+    its own baseline is worse than none. Only exact BENCH_r<digits>.json
+    names count: the BENCH_rounds.json sidecar this script itself writes
+    also matches the glob and must not be read as a round artifact."""
     import glob
     import re
 
-    prior = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-        reverse=True,
-    )
+    numbered = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        if m:
+            numbered.append((int(m.group(1)), p))
+    prior = [p for _, p in sorted(numbered, reverse=True)]
     for p in prior:
         try:
             with open(p) as f:

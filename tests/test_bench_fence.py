@@ -36,6 +36,20 @@ def test_load_prev_empty_dir(tmp_path):
     assert bench._load_prev_queries(str(tmp_path)) == ({}, "")
 
 
+def test_load_prev_ignores_rounds_sidecar(tmp_path):
+    """BENCH_rounds.json (the per-run detail sidecar bench.py itself
+    writes) matches the BENCH_r*.json glob but is not a round artifact —
+    it used to crash the int(...) sort key and kill the whole bench run
+    before the scaling probe."""
+    (tmp_path / "BENCH_rounds.json").write_text(
+        json.dumps({"all_rounds": {"2": [], "8": []}}))
+    assert bench._load_prev_queries(str(tmp_path)) == ({}, "")
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"parsed": {"queries": {"q1": 1.0}}}))
+    prev, name = bench._load_prev_queries(str(tmp_path))
+    assert prev == {"q1": 1.0} and name == "BENCH_r02.json"
+
+
 def test_fence_fires_on_2x_slowdown():
     prev = {"q1": 1.0, "q2": 0.5}
     out = bench._regressions({"q1": 2.0, "q2": 0.51}, prev=prev,
