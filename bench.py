@@ -410,7 +410,9 @@ def _write_bench_md(result: dict) -> None:
         "identical work cannot legitimately cost 30% more CPU).",
         f"Per-round: {s.get('efficiency_per_round')},",
         f"quiet mask: {s.get('quiet_rounds')},",
-        f"host window: {s.get('host_window_per_round')}.",
+        "host window (advisory; reads the 2-core side's CPU/doc only, so",
+        "a round can be 'quiet' here yet dropped above when contention",
+        f"hit only its 4N run): {s.get('host_window_per_round')}.",
         "Full per-run detail (CPU, steal, GC per level per round):",
         "BENCH_rounds.json.",
         "",

@@ -198,14 +198,18 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     version stays inside whole-stage codegen end-to-end. Zero-token docs
     produce no exploded rows and are absent from the result (a majority
     vote over nothing is meaningless)."""
-    hexhi = list("89abcdef")
     toks = docs.select(
         "doc_id", F.explode(tokens_col()).alias("t")
     ).select("doc_id", F.md5("t").alias("_h"))
+    # vote for bit i = "is hex digit i in 89abcdef" — over lowercase hex
+    # that is exactly one ordinal comparison, digit >= '8' ('8','9' <
+    # 'a'..'f' in ASCII and '0'..'7' sort below '8'), so each of the
+    # `bits` conditional sums costs one substring + one compare instead
+    # of an 8-way isin scan per token row
     agg = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.substring("_h", i, 1).isin(*hexhi), 1).otherwise(-1)
+                F.when(F.substring("_h", i, 1) >= "8", 1).otherwise(-1)
             ).alias(f"s{i}")
             for i in range(1, bits + 1)
         ]
