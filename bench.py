@@ -41,6 +41,11 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_ivf_topk_nprobe2",
     "multimodal_decode_meta",
+    # round 4: corpus-pipeline "apply" ops
+    "doc_repetition_stats",
+    "doc_decontamination",
+    "stratified_sample_balanced",
+    "dedup_canonical_docs",
 ]
 
 
@@ -330,6 +335,16 @@ def main():
         "sf": sf,
         "regressions": _regressions(timings),
     }
+    # round-over-round comparability: the headline list grows as operators
+    # land, so also report the subtotal over exactly the queries the
+    # previous round's artifact measured
+    prev_q, prev_name = _load_prev_queries(
+        os.path.dirname(os.path.abspath(__file__)))
+    if prev_q:
+        comparable = [k for k in prev_q if k in timings]
+        result["value_prev_round_queries"] = round(
+            sum(timings[k] for k in comparable), 3)
+        result["prev_round_artifact"] = prev_name
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         # 12000 ≈ 33.6M docs: big enough that the constant driver-serial
@@ -374,6 +389,14 @@ def _write_bench_md(result: dict) -> None:
         "| query | sec |", "|---|---|",
     ]
     lines += [f"| {k} | {v} |" for k, v in result["queries"].items()]
+    if result.get("value_prev_round_queries") is not None:
+        lines += [
+            "",
+            f"Subtotal over the queries {result.get('prev_round_artifact')} "
+            f"also measured (round-over-round comparable): "
+            f"**{result['value_prev_round_queries']}s**; the remainder is "
+            "surface added this round.",
+        ]
     build = result.get("build", {})
     if build.get("ivf_index") is not None:
         lines += [

@@ -1219,3 +1219,114 @@ def salted_event_segment_rollup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum("cents").alias("value_cents"),
     )
+
+
+# =====================================================================
+# Training-data ops, round 4: dedup canonicalization, repetition stats,
+# decontamination, deterministic stratified sampling
+# =====================================================================
+@q("dedup_canonical_docs", f"""
+WITH RECURSIVE {_CORPUS_SQL}, {_SHINGLES_SQL}, {_SIG_SQL},
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sig a JOIN sig b
+           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT id_a, id_b, COUNT(*) AS n_inter
+          FROM cand
+          JOIN sh a ON cand.id_a = a.doc_id
+          JOIN sh b ON cand.id_b = b.doc_id AND a.sh = b.sh
+          GROUP BY id_a, id_b),
+near AS (SELECT id_a, id_b
+         FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+                    JOIN sizes sb ON inter.id_b = sb.doc_id
+         WHERE FLOOR(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 10000) / 10000 >= 0.5),
+fps AS (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+        FROM corpus),
+exact_e AS (SELECT f.doc_id AS id_a, g.root AS id_b
+            FROM fps f
+            JOIN (SELECT fp, MIN(doc_id) AS root FROM fps GROUP BY fp) g USING (fp)
+            WHERE f.doc_id <> g.root),
+edges AS (SELECT id_a AS a, id_b AS b FROM near
+          UNION SELECT id_b, id_a FROM near
+          UNION SELECT id_a, id_b FROM exact_e
+          UNION SELECT id_b, id_a FROM exact_e),
+reach AS (SELECT a AS node, b AS peer FROM edges
+          UNION
+          SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.peer),
+comp AS (SELECT node, LEAST(node, MIN(peer)) AS canonical_id
+         FROM reach GROUP BY node),
+mapped AS (SELECT c.doc_id, COALESCE(comp.canonical_id, c.doc_id) AS canonical_id
+           FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id)
+SELECT doc_id, canonical_id, cluster_size
+FROM mapped
+JOIN (SELECT canonical_id, COUNT(*) AS cluster_size
+      FROM mapped GROUP BY canonical_id) USING (canonical_id)
+""")
+def dedup_canonical_docs(spark, sf_dir):
+    # The "apply" step of dedup: exact + verified-near edges, connected
+    # components (min label), every doc -> one canonical id. The oracle
+    # closes the same edge set with a recursive CTE.
+    from .ops.dedup import canonical_docs
+    return canonical_docs(tbl(spark, sf_dir, "documents"))
+
+
+@q("doc_repetition_stats", f"""
+WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+base AS (SELECT doc_id, len(toks) AS n_tokens,
+                len(list_distinct(toks)) AS n_distinct_tokens, toks
+         FROM tok),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM tok),
+gc AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM g GROUP BY doc_id, bg),
+pd AS (SELECT doc_id, MAX(cnt) AS max_bg, SUM(cnt) AS n_bg FROM gc GROUP BY doc_id)
+SELECT b.doc_id, n_tokens, n_distinct_tokens,
+       FLOOR((n_tokens - n_distinct_tokens) / n_tokens * 10000) / 10000
+           AS dup_token_frac,
+       FLOOR(COALESCE(max_bg / n_bg, 0) * 10000) / 10000 AS top_bigram_frac
+FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id
+""")
+def doc_repetition_stats(spark, sf_dir):
+    # Gopher-style repetition: duplicated-token fraction + top-bigram share.
+    from .ops.text import repetition_stats
+    return repetition_stats(tbl(spark, sf_dir, "documents"))
+
+
+@q("doc_decontamination", f"""
+WITH {_CORPUS_SQL},
+tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
+ng AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                  range(1, greatest(len(toks) - 4, 1) + 1),
+                  i -> array_to_string(toks[i:i+4], ' ')))) AS sh
+       FROM tok),
+ev_ids AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+ev AS (SELECT DISTINCT sh FROM ng JOIN ev_ids USING (doc_id))
+SELECT doc_id, COUNT(*) AS n_shared_ngrams
+FROM ng JOIN ev USING (sh)
+WHERE doc_id NOT IN (SELECT doc_id FROM ev_ids)
+GROUP BY doc_id
+""")
+def doc_decontamination(spark, sf_dir):
+    # Benchmark-leakage check: training docs sharing any word 5-gram with
+    # the deterministic eval split (base doc_id % 97 == 0); planted mutant
+    # copies of eval docs are guaranteed leaks the op must find.
+    from .ops.dedup import contamination
+    return contamination(tbl(spark, sf_dir, "documents"))
+
+
+@q("stratified_sample_balanced", """
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT lang, MIN(n) OVER () AS min_n FROM c),
+r AS (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+SELECT doc_id, lang, rn FROM r JOIN m USING (lang) WHERE rn <= min_n
+""")
+def stratified_sample_balanced(spark, sf_dir):
+    # Deterministic equal-mixture downsample over the skewed lang strata
+    # (en is ~44% of the corpus): md5-rank within stratum, keep min-count.
+    from .ops.sampling import stratified_balanced_sample
+    return stratified_balanced_sample(tbl(spark, sf_dir, "documents"))

@@ -36,6 +36,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = None
     for _ in range(max_iter):
         # candidate component = min over self and neighbors' comps
         neighbor_comp = (
@@ -46,18 +47,19 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             comp.unionByName(neighbor_comp)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            # lazy: the convergence aggregate below materializes the
+            # checkpoint as a side effect — eager would burn one extra
+            # job per round
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        # convergence: per-node labels only ever DECREASE under min-label
+        # propagation, so an unchanged global sum is a fixpoint — one tiny
+        # aggregate per round instead of a new-vs-old join + count
+        cur_sum = new_comp.agg(F.sum("comp")).collect()[0][0]
         comp = new_comp
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return comp.select(F.col("node").alias("node_id"), F.col("comp").alias("component_id"))
 
 

@@ -224,6 +224,91 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     return agg.select("doc_id", total.cast("long").alias("simhash"))
 
 
+def canonical_docs(docs: DataFrame) -> DataFrame:
+    """Cluster canonicalization — the *apply* step of dedup. The pair
+    emitters above (exact fingerprint groups, verified near-dup pairs)
+    only report evidence; a training pipeline needs each document mapped
+    to ONE canonical representative so the dedup'd corpus is a simple
+    filter (``doc_id == canonical_id``). Duplicate relations are not
+    transitive-closed by the pair emitters (A≈B and B≈C may be found
+    without A≈C), so the mapping is connected components over the union
+    of exact-dup edges and verified near-dup edges; the canonical id is
+    the component minimum — the same min-label convention the KG side
+    uses for alias canonicalization (graph/canonicalize.py, SURVEY §J10).
+
+    Returns (doc_id, canonical_id, cluster_size) for every corpus doc —
+    unique docs map to themselves with cluster_size 1.
+
+    Scale: the CC input is only the *duplicate-evidence* edges (a few %
+    of the corpus even at heavy duplication), never all docs; each CC
+    round is one equi-join + one min-agg over that small edge set, and
+    alias/dup chains are short (2-4 rounds to fixpoint). The final map
+    back onto the corpus is a left join on doc_id — broadcastable
+    whenever dup clusters are rare, shuffle-hash otherwise.
+    """
+    from ..graph.canonicalize import connected_components
+
+    corpus = with_mutants(docs)
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    fp = corpus.select("doc_id", F.md5(norm).alias("fp"))
+    roots = fp.groupBy("fp").agg(F.min("doc_id").alias("root"))
+    exact_edges = (
+        fp.join(roots, "fp")
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(F.col("doc_id").alias("src"), F.col("root").alias("dst"))
+    )
+    near_edges = jaccard_verified_pairs(corpus).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(exact_edges.unionByName(near_edges))
+    mapped = (
+        corpus.select("doc_id")
+        .join(comp, corpus.doc_id == comp.node_id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("canonical_id"),
+        )
+    )
+    sizes = mapped.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return mapped.join(sizes, "canonical_id").select(
+        "doc_id", "canonical_id", "cluster_size"
+    )
+
+
+def contamination(docs: DataFrame, eval_mod: int = 97, k: int = 5) -> DataFrame:
+    """Train/eval decontamination: flag training documents that share any
+    word k-gram with the (small) held-out eval split — the standard
+    benchmark-leakage check before a corpus feeds a training run. The
+    eval split here is deterministic (base doc_id % eval_mod == 0); the
+    training side is the mutant-augmented corpus minus those exact ids,
+    so planted copies of eval docs are guaranteed leaks the op must find.
+
+    Returns (doc_id, n_shared_ngrams) for contaminated training docs only.
+
+    Scale: eval benchmark suites are tiny next to a 10^12-doc corpus, so
+    the eval k-gram set is broadcast and the join is map-side — the only
+    shuffle is the final per-doc count, map-side-combinable. k=5 keeps
+    incidental same-topic collisions near zero while catching verbatim
+    spans.
+    """
+    eval_docs = docs.filter(F.col("doc_id") % eval_mod == 0)
+    # eval n-grams come straight from the (tiny) eval split — shingling
+    # the full corpus twice (once per join side) would double the
+    # pipeline's only expensive stage
+    eval_ngrams = shingles(eval_docs, k=k).select("sh").distinct()
+    eval_ids = eval_docs.select("doc_id")
+    train = shingles(with_mutants(docs), k=k).join(
+        F.broadcast(eval_ids), "doc_id", "left_anti"
+    )
+    return (
+        train.join(F.broadcast(eval_ngrams), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
 # ---------------------------------------------------------------------
 # Embedding-cosine near-duplicate detection (sign-LSH over hyperplanes)
 # ---------------------------------------------------------------------

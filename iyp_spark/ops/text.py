@@ -62,6 +62,53 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals: the fraction of
+    tokens that are repeats (1 - distinct/total) and the share of the
+    document's word bigrams taken by its single most frequent bigram —
+    the two cheapest detectors of boilerplate / degenerate generation
+    loops in a pretraining corpus.
+
+    Returns (doc_id, n_tokens, n_distinct_tokens, dup_token_frac,
+    top_bigram_frac); docs with <2 tokens get top_bigram_frac 0.
+
+    Scale: bigrams are built map-side with zip_with over two slices (no
+    self-join); the only shuffle is the (doc_id, bigram) count, map-side
+    combinable and keyed by doc_id so it rides the corpus partitioning.
+    """
+    d = docs.select("doc_id", tokens_col().alias("toks"))
+    n_bg = F.greatest(F.size("toks") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), 1, n_bg),
+        F.slice(F.col("toks"), 2, n_bg),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    base = d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+        bigrams.alias("bigrams"),
+    )
+    counts = (
+        base.select("doc_id", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_bg"), F.sum("cnt").alias("n_bg"))
+    )
+    return base.join(counts, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        trunc4(
+            (F.col("n_tokens") - F.col("n_distinct_tokens")) / F.col("n_tokens")
+        ).alias("dup_token_frac"),
+        trunc4(
+            F.coalesce(F.col("max_bg") / F.col("n_bg"), F.lit(0.0))
+        ).alias("top_bigram_frac"),
+    )
+
+
 STOPWORDS_EN = ["the", "a", "of", "and", "in"]
 
 
