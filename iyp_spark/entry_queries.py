@@ -1330,3 +1330,20 @@ def stratified_sample_balanced(spark, sf_dir):
     # (en is ~44% of the corpus): md5-rank within stratum, keep min-count.
     from .ops.sampling import stratified_balanced_sample
     return stratified_balanced_sample(tbl(spark, sf_dir, "documents"))
+
+
+@q("doc_pack_sequences", f"""
+WITH tok AS (SELECT doc_id, source, len({_TOKS_SQL}) AS n_tokens FROM documents),
+c AS (SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tok)
+SELECT source, doc_id, n_tokens,
+       CAST(FLOOR((cum - n_tokens) / 256) AS BIGINT) AS seq_id
+FROM c
+""")
+def doc_pack_sequences(spark, sf_dir):
+    # Concat-then-chunk sequence packing: one running-sum window per pack
+    # partition assigns every doc to its fixed-budget training sequence.
+    from .ops.packing import pack_sequences
+    return pack_sequences(tbl(spark, sf_dir, "documents"))

@@ -496,3 +496,27 @@ def test_stratified_sample_is_balanced_and_deterministic(spark):
     b = stratified_balanced_sample(docs).collect()
     assert sorted((r["doc_id"], r["lang"]) for r in a) == \
         sorted((r["doc_id"], r["lang"]) for r in b)
+
+
+def test_pack_sequences_respects_budget_and_order(spark):
+    """Greedy concat-then-chunk packing: within each pack partition the
+    seq_id is non-decreasing in doc order, every sequence starts at the
+    doc whose cumulative start offset crosses the budget boundary, and
+    re-running yields the identical assignment."""
+    from iyp_spark.ops.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = pack_sequences(docs, budget=100).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            assert r["seq_id"] == cum // 100, f"{src}/{r['doc_id']}"
+            cum += r["n_tokens"]
+        seqs = [r["seq_id"] for r in rs]
+        assert seqs == sorted(seqs)
+    again = pack_sequences(docs, budget=100).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
