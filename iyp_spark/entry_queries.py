@@ -1347,3 +1347,37 @@ def doc_pack_sequences(spark, sf_dir):
     # partition assigns every doc to its fixed-budget training sequence.
     from .ops.packing import pack_sequences
     return pack_sequences(tbl(spark, sf_dir, "documents"))
+
+
+@q("bfs_reach_3hop", """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT 'P:' || CAST(l_partkey AS VARCHAR) AS src,
+                  'S:' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem
+  UNION
+  SELECT DISTINCT 'S:' || CAST(l_suppkey AS VARCHAR),
+                  'P:' || CAST(l_partkey AS VARCHAR) FROM lineitem
+),
+reach(node, hop) AS (
+  SELECT 'P:1', CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, r.hop + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.hop < 3
+)
+SELECT node, MIN(hop) AS hop FROM reach GROUP BY node
+""")
+def bfs_reach_3hop(spark, sf_dir):
+    # J10/§2.11 hash-exact form: min-hop BFS from part 1 over the undirected
+    # part<->supplier bipartite graph (lineitem co-supply edges), <=3 hops.
+    # The oracle is the same traversal as a DuckDB recursive CTE.
+    from .graph.canonicalize import bfs_reach
+    li = tbl(spark, sf_dir, "lineitem")
+    p2s = li.select(
+        F.concat(F.lit("P:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("S:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = p2s.unionByName(
+        p2s.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = spark.range(1).select(F.lit("P:1").alias("node"))
+    return bfs_reach(edges, seeds, max_hops=3)

@@ -105,3 +105,42 @@ def resolve_cname_chains(resolves: DataFrame, aliases: DataFrame,
         out = out.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return out
+
+
+def bfs_reach(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
+    """Bounded-hop BFS: minimum hop count from any seed (SURVEY §J10 /
+    §2.11, the DataFrame analog of the reference's Cypher variable-length
+    path ``-[*1..k]->`` — gallery.md shortest-reach patterns).
+
+    edges: (src string, dst string), directed — pass both directions for an
+    undirected graph. seeds: (node string). Returns (node, hop) where hop is
+    the minimum number of edges from any seed, 0 for the seeds themselves,
+    capped at max_hops.
+
+    Scale shape: one hash-join + anti-join per hop, frontier and visited set
+    both partitioned by node; localCheckpoint per hop keeps lineage linear
+    (same discipline as connected_components above). No driver-side row
+    iteration — the only per-hop driver work is an isEmpty() on the already
+    materialized frontier.
+    """
+    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    visited = (
+        seeds.select("node").distinct()
+        .withColumn("hop", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -187,3 +187,26 @@ def test_all_shortest_paths_enumeration(spark):
     paths_d = [[p["key"] for p in r["path"]]
                for r in res2.collect() if r["key"] == "d"]
     assert paths_d == [["a", "b", "d"]]
+
+
+def test_bfs_reach_min_hop(spark):
+    # a->b->c->d chain plus shortcut a->c: c must be hop 1 via the shortcut,
+    # d hop 2, and e (beyond max_hops on a long path) excluded.
+    from iyp_spark.graph.canonicalize import bfs_reach
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "x"), ("x", "e")],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["hop"] for r in bfs_reach(edges, seeds, max_hops=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "x": 3}
+
+
+def test_bfs_reach_early_exit_isolated_seed(spark):
+    from iyp_spark.graph.canonicalize import bfs_reach
+
+    edges = spark.createDataFrame([("m", "n")], ["src", "dst"])
+    seeds = spark.createDataFrame([("z",)], ["node"])
+    got = bfs_reach(edges, seeds, max_hops=5).collect()
+    assert [(r["node"], r["hop"]) for r in got] == [("z", 0)]
