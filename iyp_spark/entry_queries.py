@@ -1381,3 +1381,38 @@ def bfs_reach_3hop(spark, sf_dir):
     )
     seeds = spark.range(1).select(F.lit("P:1").alias("node"))
     return bfs_reach(edges, seeds, max_hops=3)
+
+
+@q("alias_components", """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT l_partkey AS a, l_suppkey + 1000000 AS b
+  FROM lineitem WHERE l_quantity >= 49 AND l_discount >= 0.08
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(node, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+)
+SELECT node AS node_id, MIN(r) AS component_id FROM reach GROUP BY node
+""")
+def alias_components(spark, sf_dir):
+    # J10/§2.11 hash-exact form for canonicalization's connected components
+    # (graph/canonicalize.py, reference inetintel/as_org.py:97-109 sibling
+    # groups): equivalence classes over a sparsified part<->supplier alias
+    # graph (supplier ids offset into a disjoint range, matching the
+    # numeric-id contract of connected_components), component id = min
+    # member id. The oracle computes the same classes from the full
+    # reachability closure (recursive CTE) — an independent formulation of
+    # the same fixpoint. max_iter=100 bounds the min-label rounds well past
+    # this graph's diameter; the per-round fixpoint check exits as soon as
+    # labels stop changing.
+    from .graph.canonicalize import connected_components
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 49) & (F.col("l_discount") >= 0.08)
+    )
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+    )
+    return connected_components(edges, max_iter=100)
