@@ -457,21 +457,30 @@ def events_last_order_asof(spark, sf_dir):
 
 
 @q("event_rollup_day_type", """
-SELECT CAST(ts AS DATE) AS d, event_type,
-       COUNT(*) AS n, SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents
-FROM events GROUP BY ROLLUP(d, event_type)
+SELECT strftime(d, '%Y-%m-%d') AS d, event_type, n,
+       CAST(value_cents AS BIGINT) AS value_cents
+FROM (
+    SELECT CAST(ts AS DATE) AS d, event_type,
+           COUNT(*) AS n, SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents
+    FROM events GROUP BY ROLLUP(d, event_type)
+) t
 """)
 def event_rollup_day_type(spark, sf_dir):
     # Multi-granularity rollup (hypertable-style day → grand-total
     # hierarchy) in ONE pass: Spark ROLLUP = partial-agg-friendly
     # GROUPING SETS, no union of re-scans. The measure is integer cents
-    # (exact, order-independent) so the subtotal rows hash-match DuckDB.
+    # (exact, order-independent). Per this file's convention (header),
+    # the day key is formatted to a string and the DuckDB SUM is CAST
+    # back to BIGINT (DuckDB integer SUM widens to HUGEINT, which the
+    # driver's value-hasher serializes differently from Spark's BIGINT).
     e = tbl(spark, sf_dir, "events")
     return (
         e.select(F.to_date("ts").alias("d"), "event_type",
                  F.floor(F.col("value") * 100).cast("long").alias("cents"))
         .rollup("d", "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("value_cents"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("d"),
+                "event_type", "n", "value_cents")
     )
 
 
@@ -1200,7 +1209,7 @@ def price_band_lpm(spark, sf_dir):
 # =====================================================================
 @q("salted_event_segment_rollup", """
 SELECT c_mktsegment, COUNT(*) AS n_events,
-       SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c_mktsegment
 """)
