@@ -22,9 +22,20 @@ from pyspark.sql import functions as F
 ALIAS_PREDS = ["SIBLING_OF", "ALIAS_OF"]
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 200,
+                         require_converged: bool = True) -> DataFrame:
     """edges: (src long, dst long) undirected-izable pairs →
-    (node_id long, component_id long) where component_id = min node id."""
+    (node_id long, component_id long) where component_id = min node id.
+
+    Plain min-label propagation needs ~component-diameter rounds (NOT
+    log n — the min label travels one hop per round), so ``max_iter``
+    defaults to 200: alias/dup chains converge in 2-4 rounds and pay
+    nothing extra, while a pathological long chain still finishes instead
+    of silently mislabeling. If the loop exhausts without reaching the
+    fixpoint the result is partial, which is a correctness bug for every
+    caller (canonical ids would differ between runs of different depth) —
+    so by default this RAISES rather than returning partial labels; pass
+    ``require_converged=False`` to get best-effort labels explicitly."""
     sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     sym = sym.unionByName(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -37,6 +48,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         # candidate component = min over self and neighbors' comps
         neighbor_comp = (
@@ -58,8 +70,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         cur_sum = new_comp.agg(F.sum("comp")).collect()[0][0]
         comp = new_comp
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged and require_converged:
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint within "
+            f"{max_iter} rounds — a component's diameter exceeds the "
+            f"iteration budget; raise max_iter (labels would be PARTIAL)"
+        )
     return comp.select(F.col("node").alias("node_id"), F.col("comp").alias("component_id"))
 
 

@@ -65,8 +65,8 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
 
 
-def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS,
-                       k: int = 3) -> DataFrame:
+def minhash_signatures(docs: DataFrame | None = None, n_bands: int = N_BANDS,
+                       k: int = 3, sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, band, sig): per-band min-hash — band b's hash of a shingle
     is an 8-hex-char window of a 64-char digest pool built from TWO md5
     calls (md5('0:'+sh) || md5('1:'+sh)), so the per-shingle hash work is
@@ -89,8 +89,14 @@ def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS,
     codegen. CPU dominates a tiny per-doc shuffle at any scale, so
     codegen wins; fenced by test_minhash_plan_single_md5_pass. The
     trailing stack() restores the (doc_id, band, sig) long shape the
-    band-bucket join expects."""
-    sh = shingles(docs, k=k)
+    band-bucket join expects.
+
+    ``sh`` lets a caller thread a precomputed (doc_id, sh) DataFrame
+    through, so pipelines that need shingles for BOTH signatures and
+    Jaccard verification (jaccard_verified_pairs, canonical_docs)
+    materialize the tokenize+explode stage exactly once."""
+    if sh is None:
+        sh = shingles(docs, k=k)
     pool = F.concat(
         F.md5(F.concat_ws(":", F.lit(0), F.col("sh"))),
         F.md5(F.concat_ws(":", F.lit(1), F.col("sh"))),
@@ -110,8 +116,9 @@ def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS,
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame,
-                        max_bucket: int | None = None) -> DataFrame:
+def lsh_candidate_pairs(docs: DataFrame | None = None,
+                        max_bucket: int | None = None,
+                        sh: DataFrame | None = None) -> DataFrame:
     """MinHash-LSH near-dup candidates: docs sharing any band signature.
 
     ``max_bucket`` bounds the self-join's worst case: a bucket of n docs
@@ -126,7 +133,7 @@ def lsh_candidate_pairs(docs: DataFrame,
     same (band, sig) keys the join shuffles on, so AQE reuses one
     exchange — the cap costs no extra shuffle. Default None = exhaustive
     (the oracle-checked semantics); at 100 TB set a few thousand."""
-    sig = minhash_signatures(docs)
+    sig = minhash_signatures(docs, sh=sh)
     if max_bucket is not None:
         bw = Window.partitionBy("band", "sig")
         sig = (
@@ -148,12 +155,26 @@ def lsh_candidate_pairs(docs: DataFrame,
     )
 
 
-def jaccard_verified_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def jaccard_verified_pairs(docs: DataFrame | None = None,
+                           threshold: float = 0.5,
+                           sh: DataFrame | None = None) -> DataFrame:
     """n-gram Jaccard verification of LSH candidates: true |A∩B| / |A∪B|
-    over distinct word 3-gram sets, filtered to >= threshold."""
-    sh = shingles(docs)
+    over distinct word 3-gram sets, filtered to >= threshold.
+
+    The shingle DataFrame feeds THREE consumers — the minhash signatures
+    behind the candidate join, the per-doc set sizes, and the
+    intersection join itself — so it is computed once and persisted
+    (MEMORY_AND_DISK). Tokenize+explode over the full corpus is the
+    dominant map cost of the dedup pipeline; recomputing it per consumer
+    would double-scan the heaviest stage at 100 TB (at that scale, stage
+    the shingle table to the lake instead of caching — same one-pass
+    shape, swap ``persist`` for a parquet write + re-read)."""
+    if sh is None:
+        from pyspark import StorageLevel
+
+        sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    cand = lsh_candidate_pairs(docs)
+    cand = lsh_candidate_pairs(sh=sh)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -246,6 +267,8 @@ def canonical_docs(docs: DataFrame) -> DataFrame:
     back onto the corpus is a left join on doc_id — broadcastable
     whenever dup clusters are rare, shuffle-hash otherwise.
     """
+    from pyspark import StorageLevel
+
     from ..graph.canonicalize import connected_components
 
     corpus = with_mutants(docs)
@@ -257,7 +280,11 @@ def canonical_docs(docs: DataFrame) -> DataFrame:
         .filter(F.col("doc_id") != F.col("root"))
         .select(F.col("doc_id").alias("src"), F.col("root").alias("dst"))
     )
-    near_edges = jaccard_verified_pairs(corpus).select(
+    # ONE shingle materialization for the whole pipeline: persisted here,
+    # threaded through signatures, candidate join, and Jaccard verification
+    # (this stage was recomputed twice before — it dominated the query).
+    sh = shingles(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    near_edges = jaccard_verified_pairs(sh=sh).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     comp = connected_components(exact_edges.unionByName(near_edges))

@@ -1,15 +1,18 @@
 """Multimodal column plumbing: images/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The decode step is a STUB (no image/audio libs in this container): it
-derives deterministic fake metadata from the payload bytes, clearly marked.
+The decode step parses REAL container headers where the format is
+self-describing with the stdlib alone — PNG IHDR and JPEG SOF dimensions
+via ``struct`` — and falls back to a clearly-marked deterministic stub for
+payloads that aren't recognized images (no pixel libs in this container).
 Everything around it — binary column handling, output schema, Arrow batch
 iteration, partition-preserving shape — is real and tested; swapping in a
-real decoder (PIL/ffmpeg) changes only `_decode_payload`.
+full decoder (PIL/ffmpeg) changes only `_decode_payload`.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -26,11 +29,66 @@ DECODED_SCHEMA = T.StructType([
 ])
 
 
-def _decode_payload(payload: bytes) -> tuple[int, int, int, int]:
-    """STUB decoder — deterministic fake: real implementation would call an
-    image/video library here. Raises nothing, returns metadata derived from
-    byte length so the pipeline is end-to-end testable."""
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# JPEG standalone markers (no length word follows): TEM, RSTn, SOI, EOI
+_JPEG_STANDALONE = {0x01, *range(0xD0, 0xDA)}
+# SOF markers carry dimensions; 0xC4 (DHT), 0xC8 (JPG ext), 0xCC (DAC) don't
+_JPEG_SOF = set(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _png_dims(payload: bytes) -> tuple[int, int] | None:
+    """Real PNG header parse: the IHDR chunk is mandatory-first (RFC 2083
+    §4.1.1), so width/height are the two big-endian u32s at bytes 16..24."""
+    if len(payload) < 24 or not payload.startswith(_PNG_MAGIC):
+        return None
+    if payload[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", payload[16:24])
+    return (w, h) if w > 0 and h > 0 else None
+
+
+def _jpeg_dims(payload: bytes) -> tuple[int, int] | None:
+    """Real JPEG header parse: walk the marker segments from SOI until a
+    SOF marker, whose segment body is (precision u8, height u16be,
+    width u16be) — ITU T.81 §B.2.2. Returns None on any malformed walk."""
+    if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        return None
+    i = 2
     n = len(payload)
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte padding before a marker
+            i += 1
+            continue
+        if marker in _JPEG_STANDALONE:
+            i += 2
+            continue
+        if i + 4 > n:
+            return None
+        (seg_len,) = struct.unpack(">H", payload[i + 2:i + 4])
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF:
+            if i + 9 > n:
+                return None
+            h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+            return (w, h) if w > 0 and h > 0 else None
+        i += 2 + seg_len
+    return None
+
+
+def _decode_payload(payload: bytes) -> tuple[int, int, int, int]:
+    """Decode media metadata with the stdlib alone: true width/height from
+    PNG IHDR / JPEG SOF headers when the magic bytes match (single-frame →
+    n_frames=1); otherwise a deterministic STUB derived from byte length —
+    a full pixel/video decoder (PIL/ffmpeg) would replace only the
+    fallback. Raises nothing, so the pipeline is end-to-end testable."""
+    n = len(payload)
+    dims = _png_dims(payload) or _jpeg_dims(payload)
+    if dims is not None:
+        return n, dims[0], dims[1], 1
     return n, n % 640, (n * 7) % 480, n % 30 + 1
 
 

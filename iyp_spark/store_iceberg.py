@@ -111,6 +111,51 @@ FROM {t_view} t FULL OUTER JOIN {s_view} s
         spark.catalog.dropTempView(s_view)
 
 
+def batch_delete_predicate(reference_name: str, batch_id: int) -> str:
+    """WHERE-clause text of the streaming replay DELETE — kept as a pure
+    function shared verbatim by `append_triples_batch` and
+    `simulate_batch_replay`, so the simulation test runs the exact
+    predicate the cluster statement embeds."""
+    return (f"_batch_id = {int(batch_id)} "
+            f"AND reference_name = '{reference_name}'")
+
+
+def simulate_overwrite_partitions(target: DataFrame, incoming: DataFrame,
+                                  part_col: str = "reference_name") -> DataFrame:
+    """In-sandbox stand-in for ``writeTo(...).overwritePartitions()``
+    (VERDICT r4 next #6): Iceberg's dynamic overwrite atomically replaces
+    exactly the ``part_col`` partitions PRESENT IN the written data and
+    leaves every other partition untouched — i.e. anti-join the target
+    against the incoming partition set, then union the incoming rows.
+    Used by `replace_triples` (per-crawler idempotent rerun); running it
+    twice with the same incoming batch is a fixpoint, and two writers on
+    disjoint partition sets commute — both simulated in
+    tests/test_compare_dump.py."""
+    parts = incoming.select(part_col).distinct()
+    kept = target.join(F.broadcast(parts), [part_col], "left_anti")
+    return kept.unionByName(incoming).localCheckpoint(eager=True)
+
+
+def simulate_batch_replay(spark: SparkSession, target: DataFrame,
+                          incoming: DataFrame, reference_name: str,
+                          batch_id: int) -> DataFrame:
+    """In-sandbox stand-in for `append_triples_batch`'s replay-safe pair —
+    ``DELETE FROM triples WHERE <batch_delete_predicate>`` then append —
+    executed as SQL over a temp view with the VERBATIM predicate text, so
+    a green test certifies the shipped WHERE clause (not a DataFrame
+    paraphrase) makes micro-batch replays idempotent."""
+    t_view = f"_iyp_sim_del_{uuid.uuid4().hex[:8]}"
+    target.createOrReplaceTempView(t_view)
+    try:
+        kept = spark.sql(
+            f"SELECT * FROM {t_view} WHERE NOT "
+            f"({batch_delete_predicate(reference_name, batch_id)})"
+        )
+        return kept.unionByName(incoming).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(t_view)
+
+
 class IcebergGraphStore(GraphStore):
     """GraphStore on an Iceberg catalog. ``root`` is reinterpreted as the
     table-name prefix, e.g. ``lake.iyp`` → ``lake.iyp.triples``."""
@@ -242,10 +287,10 @@ class IcebergGraphStore(GraphStore):
         self._ensure("triples", TRIPLES_SCHEMA, "reference_name",
                      extra_cols=", _batch_id bigint")
         # replay-safe: re-running batch N first deletes batch N's rows
+        # (predicate text shared verbatim with simulate_batch_replay)
         self.spark.sql(
             f"DELETE FROM {self._tbl('triples')} "
-            f"WHERE _batch_id = {int(batch_id)} "
-            f"AND reference_name = '{reference_name}'"
+            f"WHERE {batch_delete_predicate(reference_name, batch_id)}"
         )
         out.writeTo(self._tbl("triples")).append()
         return n

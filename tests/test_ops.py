@@ -55,6 +55,41 @@ def test_minhash_signatures_one_row_per_doc_band(spark):
     assert [r["count"] for r in counts] == [N_BANDS]
 
 
+def _plan_nodes(plan):
+    """Flatten a (pre-AQE) SparkPlan tree into a Python list via py4j."""
+    out = [plan]
+    ch = plan.children()
+    for i in range(ch.size()):
+        out += _plan_nodes(ch.apply(i))
+    return out
+
+
+def test_jaccard_plan_single_shingle_materialization(spark):
+    """The dedup pipeline's shingle stage (tokenize + explode over the
+    full corpus — its dominant map cost) must be computed ONCE and shared
+    by all three consumers (minhash signatures, per-doc set sizes, the
+    intersection join). Fence: every InMemoryTableScan in the physical
+    plan reads the SAME cached relation, there are at least 3 of them,
+    and no shingle explode survives outside the cache (the only Generate
+    nodes left are the per-band stack())."""
+    from iyp_spark.ops.dedup import jaccard_verified_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = jaccard_verified_pairs(docs)._jdf.queryExecution().sparkPlan()
+    nodes = _plan_nodes(plan)
+    scans = [n for n in nodes if n.nodeName() == "InMemoryTableScan"]
+    assert len(scans) >= 3, plan.toString()
+    cached = {n.relation().cacheBuilder().hashCode() for n in scans}
+    assert len(cached) == 1, f"{len(cached)} cached relations (want 1 shared)"
+    outside_gens = [
+        n.toString().splitlines()[0]
+        for n in nodes
+        if "Generate" in n.nodeName()
+        and "explode" in n.toString().splitlines()[0]
+    ]
+    assert not outside_gens, outside_gens
+
+
 def test_minhash_plan_single_md5_pass(spark):
     """The signature stage must evaluate the 2-digest md5 pool ONCE per
     exploded shingle row (not re-inlined into the 8 per-band mins), stay
@@ -266,6 +301,45 @@ def test_ivf_cell_partitioned_layout(spark, emb, tmp_path):
                    for d in os.listdir(os.path.join(auto, "assigned")))
 
 
+def test_ivf_recall_floor_vs_bruteforce(spark, tmp_path):
+    """Retrieval QUALITY fence (VERDICT r4 next #7): the oracles prove the
+    IVF path is deterministic, not that it retrieves well. On a
+    deterministically clustered set (8 well-separated clusters, ±0.05
+    perturbation), recall@5 vs brute-force cosine must be >= 0.9 at
+    nprobe=2 and never decrease from nprobe=1 to nprobe=2."""
+    from iyp_spark.ops.similarity import (build_ivf_artifact, cosine_topk,
+                                          ivf_topk_indexed)
+
+    n_clusters, per, dim = 8, 50, 16
+    rows = []
+    for c in range(n_clusters):
+        for i in range(per):
+            vec = [
+                (1.0 if j == 2 * c else 0.15 * (((c * 7 + j * 13) % 17) / 17.0))
+                + 0.05 * (((i * 31 + j * 5 + c * 3) % 11) - 5) / 5.0
+                for j in range(dim)
+            ]
+            rows.append((i * n_clusters + c, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+        .repartition(8)
+
+    path = str(tmp_path / "ivf_recall")
+    build_ivf_artifact(emb, path, centroid_every=25)
+
+    truth = {(r["q_id"], r["n_id"])
+             for r in cosine_topk(emb, n_queries=10, k=5).collect()}
+
+    def recall(nprobe):
+        got = {(r["q_id"], r["n_id"])
+               for r in ivf_topk_indexed(spark, path, n_queries=10, k=5,
+                                         nprobe=nprobe).collect()}
+        return len(got & truth) / len(truth)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1, (r1, r2)
+    assert r2 >= 0.9, f"recall@5 nprobe=2 = {r2} (nprobe=1 = {r1})"
+
+
 # ---------------------------------------------------------------- multimodal
 def test_extract_features_feeds_similarity(spark):
     """The feature-extract output column is drop-in for the real ANN path:
@@ -319,6 +393,71 @@ def test_sample_frames_variable_cardinality(spark):
         assert per_doc[d] == -(-n_frames // 5)  # ceil
     one = out.filter("frame_idx = 5").limit(1).collect()
     assert not one or one[0]["frame_ms"] == 200  # 25 fps → 40ms per frame
+
+
+def _minimal_png(w: int, h: int) -> bytes:
+    """Handcrafted byte-exact PNG prefix: signature + IHDR chunk only —
+    enough for any header-level decoder (the pixel data is irrelevant)."""
+    import struct as s
+    import zlib
+
+    ihdr = s.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = s.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+    chunk += s.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    return b"\x89PNG\r\n\x1a\n" + chunk
+
+
+def _minimal_jpeg(w: int, h: int) -> bytes:
+    """SOI, an APP0 segment to skip, a DHT (0xC4 — must NOT be mistaken
+    for SOF), then SOF0 carrying (precision, height, width)."""
+    import struct as s
+
+    app0 = b"\xff\xe0" + s.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    dht = b"\xff\xc4" + s.pack(">H", 5) + b"\x00\x01\x02"
+    sof0 = b"\xff\xc0" + s.pack(">H", 11) + b"\x08" + s.pack(">HH", h, w) \
+        + b"\x03\x01\x11\x00"
+    return b"\xff\xd8" + app0 + dht + sof0
+
+
+def test_decode_media_parses_real_image_headers(spark):
+    """True width/height flow from handcrafted PNG IHDR / JPEG SOF bytes
+    through the SAME mapInPandas contract as the stub path; non-image
+    payloads still take the deterministic fallback (VERDICT r4 next #5)."""
+    from iyp_spark.ops.multimodal import decode_media
+
+    png, jpg, txt = _minimal_png(800, 600), _minimal_jpeg(1920, 1080), b"hello"
+    media = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(jpg)), (3, bytearray(txt))],
+        "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_media(media).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["n_frames"]) == (800, 600, 1)
+    assert (out[2]["width"], out[2]["height"], out[2]["n_frames"]) == (1920, 1080, 1)
+    n = len(txt)
+    assert (out[3]["width"], out[3]["height"]) == (n % 640, (n * 7) % 480)
+    assert all(out[i]["byte_len"] == ln
+               for i, ln in ((1, len(png)), (2, len(jpg)), (3, n)))
+
+
+def test_decode_media_malformed_headers_fall_back(spark):
+    """Truncated/corrupt magic must never raise — the walk returns None and
+    the stub path emits metadata (a decode crash would kill the task at
+    100 TB for one bad blob)."""
+    from iyp_spark.ops.multimodal import _jpeg_dims, _png_dims, decode_media
+
+    bad = [
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 4,          # truncated before IHDR
+        b"\xff\xd8\xff\xc0\x00\x03",                  # SOF length runs off end
+        b"\xff\xd8\xff\xe0\x00\x01",                  # segment length < 2
+        _minimal_png(0, 10),                           # zero dimension
+    ]
+    assert all(_png_dims(p) is None for p in bad)
+    assert all(_jpeg_dims(p) is None for p in bad)
+    media = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(bad)],
+        "doc_id long, payload binary")
+    rows = decode_media(media).collect()
+    assert len(rows) == len(bad)
+    assert all(r["width"] == r["byte_len"] % 640 for r in rows)
 
 
 def test_multimodal_plans_are_arrow_not_per_row(spark):

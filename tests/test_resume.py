@@ -179,3 +179,64 @@ def test_iceberg_merge_prop_overlap_last_writer_wins(spark):
     for k in ("65000", "65001", "65002"):
         assert got[k]["props"] == ref[k]["props"], k
         assert got[k]["labels"] == ref[k]["labels"], k
+
+
+def test_iceberg_overwrite_partitions_simulation(spark):
+    """VERDICT r4 next #6: the triples `overwritePartitions` path. The
+    simulation encodes Iceberg's dynamic-overwrite contract — replace
+    exactly the partitions present in the written data — so (a) a
+    crawler's rerun is a fixpoint, (b) other crawlers' partitions
+    survive untouched, (c) two writers on disjoint partition sets
+    commute (the optimistic-commit guarantee a real catalog gives)."""
+    from iyp_spark.store_iceberg import simulate_overwrite_partitions
+
+    cols = "reference_name string, s long, p string"
+    target = spark.createDataFrame(
+        [("crawlerA", 1, "old"), ("crawlerA", 2, "old"),
+         ("crawlerB", 3, "keep")], cols)
+    rerun_a = spark.createDataFrame([("crawlerA", 1, "new")], cols)
+
+    got = simulate_overwrite_partitions(target, rerun_a)
+    rows = {(r["reference_name"], r["s"], r["p"]) for r in got.collect()}
+    assert rows == {("crawlerA", 1, "new"), ("crawlerB", 3, "keep")}
+
+    # idempotent rerun: applying the same batch again is a fixpoint
+    again = simulate_overwrite_partitions(got, rerun_a)
+    assert {(r["reference_name"], r["s"], r["p"]) for r in again.collect()} == rows
+
+    # concurrent two-crawler write on disjoint partitions commutes
+    write_b = spark.createDataFrame([("crawlerB", 9, "newB")], cols)
+    ab = simulate_overwrite_partitions(
+        simulate_overwrite_partitions(target, rerun_a), write_b)
+    ba = simulate_overwrite_partitions(
+        simulate_overwrite_partitions(target, write_b), rerun_a)
+    set_ab = {tuple(r) for r in ab.collect()}
+    assert set_ab == {tuple(r) for r in ba.collect()}
+    assert ("crawlerA", 1, "new") in set_ab and ("crawlerB", 9, "newB") in set_ab
+
+
+def test_iceberg_batch_replay_simulation(spark):
+    """The streaming micro-batch DELETE+append pair, with the VERBATIM
+    `batch_delete_predicate` text: replaying batch N replaces batch N's
+    rows (never duplicates), other batches and other crawlers' rows with
+    the same batch id survive."""
+    from iyp_spark.store_iceberg import (batch_delete_predicate,
+                                         simulate_batch_replay)
+
+    assert batch_delete_predicate("x", 7) == \
+        "_batch_id = 7 AND reference_name = 'x'"
+
+    cols = "reference_name string, s long, _batch_id long"
+    target = spark.createDataFrame(
+        [("crawlerA", 1, 1), ("crawlerA", 2, 2), ("crawlerB", 8, 2)], cols)
+    replay_b2 = spark.createDataFrame(
+        [("crawlerA", 2, 2), ("crawlerA", 3, 2)], cols)
+
+    got = simulate_batch_replay(spark, target, replay_b2, "crawlerA", 2)
+    rows = sorted(tuple(r) for r in got.collect())
+    assert rows == [("crawlerA", 1, 1), ("crawlerA", 2, 2),
+                    ("crawlerA", 3, 2), ("crawlerB", 8, 2)]
+
+    # replaying twice is a fixpoint
+    twice = simulate_batch_replay(spark, got, replay_b2, "crawlerA", 2)
+    assert sorted(tuple(r) for r in twice.collect()) == rows
