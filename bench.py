@@ -89,6 +89,69 @@ def run_headline(sf_dir: str, cores: int) -> tuple[dict[str, float], dict[str, f
     return timings, build
 
 
+def run_ip2prefix(cores: int) -> dict:
+    """Wall-time the ip2prefix post-processor (the LPM interval join —
+    SURVEY's hardest operator, VERDICT r4 next #8) at corpus scale:
+    40k prefixes across two label trees + 200k IP probes, synthesized
+    DISTRIBUTED (spark.range + bit ops, no driver loop, deterministic).
+    The store build (upsert_nodes) is reported separately — it's ingest,
+    not the LPM cost being fenced."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from iyp_spark.post.ip2prefix import Ip2Prefix
+    from iyp_spark.session import get_spark
+    from iyp_spark.store import GraphStore
+
+    n_pfx, n_ip = 40_000, 200_000
+    spark = get_spark("bench_lpm", cores=cores, shuffle_partitions=max(cores, 8))
+    tmp = tempfile.mkdtemp(prefix="bench_lpm_",
+                           dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+    try:
+        store = GraphStore(spark, tmp)
+        octets = lambda c: F.concat_ws(
+            ".",
+            F.shiftrightunsigned(c, 24) % 256, F.shiftrightunsigned(c, 16) % 256,
+            F.shiftrightunsigned(c, 8) % 256, c % 256)
+        plen = (F.col("id") % 13 + 12).cast("int")                 # /12../24
+        base = (F.col("id") * F.lit(2654435761)) % F.lit(2**32)    # Knuth hash
+        # align to the prefix boundary: clear the low (32-plen) bits
+        host_bits = F.pow(F.lit(2.0), (F.lit(32) - plen)).cast("long")
+        net = base - base % host_bits
+        lab = F.when(F.col("id") % 2 == 0, "BGPPrefix").otherwise("GeoPrefix")
+        pfx_nodes = spark.range(n_pfx).select(
+            lab.alias("label"),
+            F.concat(octets(net), F.lit("/"), plen).alias("key"),
+        ).dropDuplicates(["label", "key"]).select(
+            "label", "key", F.xxhash64("label", "key").alias("node_id"),
+            F.array(F.lit("Prefix"), F.col("label")).alias("labels"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        )
+        addr = (F.col("id") * F.lit(40503) + F.lit(12345)) % F.lit(2**32)
+        ip_nodes = spark.range(n_ip).select(
+            F.lit("IP").alias("label"), octets(addr).alias("key"),
+        ).dropDuplicates(["key"]).select(
+            "label", "key", F.xxhash64("label", "key").alias("node_id"),
+            F.array(F.lit("IP")).alias("labels"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        )
+        t0 = time.time()
+        store.upsert_nodes(pfx_nodes.unionByName(ip_nodes), count_rows=False)
+        build_s = round(time.time() - t0, 3)
+        t0 = time.time()
+        Ip2Prefix(store).run()
+        run_s = round(time.time() - t0, 3)
+        triples = store.read_triples("iyp.ip2prefix").count()
+        print(f"  post.ip2prefix: {run_s}s ({triples} PART_OF triples; "
+              f"store build {build_s}s)", file=sys.stderr)
+        return {"seconds": run_s, "store_build_seconds": build_s,
+                "prefixes": n_pfx, "ips": n_ip, "triples": triples}
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_scaling(kg_scale: float, repeats: int = 3) -> dict:
     """Generate one corpus (distributed synthesizer), run the identical
     pipeline at N=2 and 4N=8 cores in fresh, CPU-PINNED subprocesses
@@ -346,6 +409,14 @@ def main():
             sum(timings[k] for k in comparable), 3)
         result["prev_round_artifact"] = prev_name
 
+    if os.environ.get("SPARK_GRAFT_POST", "1") != "0":
+        post = run_ip2prefix(cores)
+        result["post"] = {"ip2prefix": post}
+        # fence the LPM wall time like a headline query (regression
+        # detection picks it up from the next round's artifact onward)
+        timings["post_ip2prefix"] = post["seconds"]
+        result["queries"] = timings
+
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         # 12000 ≈ 33.6M docs: big enough that the constant driver-serial
         # seconds (planning, job submission) are <2% of even the 8-core
@@ -404,6 +475,25 @@ def _write_bench_md(result: dict) -> None:
             f"One-time index build (not query latency): ivf_index "
             f"**{build['ivf_index']}s** — trains centroids and materializes "
             "the inverted-list table the 'ann_ivf_topk' query reads.",
+            "",
+            "ANN retrieval quality (pytest-fenced, deterministic 8-cluster "
+            "set, `test_ivf_recall_floor_vs_bruteforce`): recall@5 vs "
+            "brute-force cosine = **0.96 at nprobe=1, 1.00 at nprobe=2** "
+            "(floor asserted: >= 0.9 at nprobe=2).",
+        ]
+    lpm = result.get("post", {}).get("ip2prefix")
+    if lpm:
+        lines += [
+            "",
+            "## KG post-processor: ip2prefix (LPM interval join)",
+            "",
+            f"{lpm['prefixes']} prefixes (two label trees) + {lpm['ips']} IP "
+            f"probes, synthesized distributed: **{lpm['seconds']}s** for the "
+            f"full run (IP→most-specific + prefix→least-enclosing; "
+            f"{lpm['triples']} PART_OF triples; store ingest "
+            f"{lpm['store_build_seconds']}s reported separately). The "
+            "`post_ip2prefix` row above is this wall time, fenced by the "
+            "regression check from the next round onward.",
         ]
     lines += [
         "",

@@ -1402,6 +1402,7 @@ reach(node, r) AS (
   SELECT a, a FROM sym
   UNION
   SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+  WHERE reach.r < s.a
 )
 SELECT node AS node_id, MIN(r) AS component_id FROM reach GROUP BY node
 """)
@@ -1411,11 +1412,19 @@ def alias_components(spark, sf_dir):
     # groups): equivalence classes over a sparsified part<->supplier alias
     # graph (supplier ids offset into a disjoint range, matching the
     # numeric-id contract of connected_components), component id = min
-    # member id. The oracle computes the same classes from the full
+    # member id. The oracle computes the same classes from a PRUNED
     # reachability closure (recursive CTE) — an independent formulation of
-    # the same fixpoint. max_iter=100 bounds the min-label rounds well past
-    # this graph's diameter; the per-round fixpoint check exits as soon as
-    # labels stop changing.
+    # the same fixpoint. The `reach.r < s.a` guard keeps only labels below
+    # the receiving node: the component min still reaches every member
+    # (it is below all of them), but the materialized pair set drops from
+    # the full closure (ADVICE r4: O(sum comp_size^2) rows at sf0.1+) to
+    # the strictly-decreasing half. Still superlinear in component size —
+    # the oracle is sized for the sf0.01 correctness gate, not sf0.1+;
+    # DuckDB 1.0 recursive CTEs cannot aggregate per iteration (keyed
+    # recursion lands in later DuckDB), so a true (node, min_label)
+    # iteration is not expressible here. max_iter=100 bounds the Spark
+    # side's min-label rounds well past this graph's diameter; the
+    # per-round fixpoint check exits as soon as labels stop changing.
     from .graph.canonicalize import connected_components
     li = tbl(spark, sf_dir, "lineitem").filter(
         (F.col("l_quantity") >= 49) & (F.col("l_discount") >= 0.08)
