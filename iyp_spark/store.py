@@ -287,6 +287,41 @@ class GraphStore:
             n = self.spark.read.parquet(self.triples_path).count() if count_rows else -1
         return n
 
+    def compact_triples(self, reference_name: str,
+                        target_file_bytes: int = 128 * 1024 * 1024
+                        ) -> tuple[int, int]:
+        """Small-files compaction for one crawler's triples partition —
+        the maintenance job a streaming lake needs: every
+        `append_triples_batch` micro-batch lands its own file(s), so a
+        long-running ingest accumulates thousands of tiny parquet files
+        per partition (scan cost at 100 TB becomes file-listing + footer
+        reads, not data). Rewrites the partition into
+        ceil(bytes / target_file_bytes) files (>=1), preserving the row
+        multiset exactly; idempotent (re-compacting a compacted partition
+        is a no-op-shaped rewrite). Returns (files_before, files_after).
+
+        Follows the store's read-modify-write rule: localCheckpoint
+        before overwriting the directory being read. Iceberg equivalent:
+        `rewrite_data_files` (see store_iceberg.rewrite_data_files_sql) —
+        there it's a snapshot commit, no checkpoint needed."""
+        part_dir = os.path.join(self.triples_path,
+                                f"reference_name={reference_name}")
+        if not _exists(part_dir):
+            return (0, 0)
+
+        def _parquet_files() -> list[str]:
+            return [
+                os.path.join(part_dir, f)
+                for f in os.listdir(part_dir) if f.endswith(".parquet")
+            ]
+
+        before = _parquet_files()
+        total_bytes = sum(os.path.getsize(f) for f in before)
+        n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil
+        df = self.spark.read.parquet(part_dir).localCheckpoint(eager=True)
+        df.repartition(n_out).write.mode("overwrite").parquet(part_dir)
+        return (len(before), len(_parquet_files()))
+
     def export_golden(self, path: str) -> None:
         """K8: the golden output — ordered triple export
         (replaces neo4j-admin dump, create_db.py:218-247)."""

@@ -120,6 +120,24 @@ def batch_delete_predicate(reference_name: str, batch_id: int) -> str:
             f"AND reference_name = '{reference_name}'")
 
 
+def rewrite_data_files_sql(catalog: str, table: str,
+                           reference_name: str | None = None,
+                           target_file_bytes: int = 128 * 1024 * 1024) -> str:
+    """Iceberg's compaction maintenance procedure as one CALL statement —
+    the catalog-side equivalent of GraphStore.compact_triples (bin-packs
+    small files up to the target size; a snapshot commit, readers keep the
+    old snapshot). Pure function so its text is unit-testable without a
+    catalog."""
+    where = (f", where => 'reference_name = \"{reference_name}\"'"
+             if reference_name is not None else "")
+    return (
+        f"CALL {catalog}.system.rewrite_data_files("
+        f"table => '{table}', "
+        f"options => map('target-file-size-bytes', '{target_file_bytes}')"
+        f"{where})"
+    )
+
+
 def simulate_overwrite_partitions(target: DataFrame, incoming: DataFrame,
                                   part_col: str = "reference_name") -> DataFrame:
     """In-sandbox stand-in for ``writeTo(...).overwritePartitions()``
@@ -294,6 +312,19 @@ class IcebergGraphStore(GraphStore):
         )
         out.writeTo(self._tbl("triples")).append()
         return n
+
+    def compact_triples(self, reference_name: str,
+                        target_file_bytes: int = 128 * 1024 * 1024
+                        ) -> tuple[int, int]:
+        """Compaction on the catalog: one rewrite_data_files CALL scoped
+        to the partition. File counts aren't observable through SQL here,
+        so returns (-1, -1); the procedure's own result set carries them
+        on a real catalog."""
+        catalog = self.root.split(".", 1)[0]
+        self.spark.sql(rewrite_data_files_sql(
+            catalog, self._tbl("triples"), reference_name, target_file_bytes
+        ))
+        return (-1, -1)
 
     # ---------- lineage ----------
     def log_lineage(self, crawler: str, stage: str, rows: int, seconds: float,

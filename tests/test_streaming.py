@@ -186,3 +186,81 @@ def test_watermark_windowed_aggregation_drops_late_events(spark):
         assert run() == {(0, "click"): 3, (1, "click"): 1, (5, "click"): 1}
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_compact_triples_preserves_rows_and_shrinks_files(spark):
+    """Lake maintenance: many micro-batch appends leave one small file per
+    batch; compact_triples must rewrite the partition to the computed file
+    count (1 here — tiny bytes), preserve the row multiset EXACTLY, leave
+    other partitions untouched, and be idempotent."""
+    from pyspark.sql import functions as F
+
+    from iyp_spark.schema import TRIPLES_SCHEMA
+
+    base = tempfile.mkdtemp(prefix="iyp_compact_")
+    try:
+        store = GraphStore(spark, os.path.join(base, "lake"))
+        ref = F.struct(
+            F.lit("crawlerA").alias("reference_name"),
+            F.lit("org").alias("reference_org"),
+            F.lit("u").alias("reference_url_data"),
+            F.lit(None).cast("string").alias("reference_url_info"),
+            F.lit("2024-01-01T00:00:00Z").alias("reference_time_fetch"),
+            F.lit("2024-01-01T00:00:00Z").alias("reference_time_modification"),
+        )
+
+        def batch(lo, hi):
+            return spark.range(lo, hi).select(
+                F.col("id").alias("subj_id"), F.lit("ORIGINATE").alias("pred"),
+                (F.col("id") + 10_000).alias("obj_id"),
+                F.lit("AS").alias("subj_label"),
+                F.col("id").cast("string").alias("subj_key"),
+                F.lit("Prefix").alias("obj_label"),
+                F.col("id").cast("string").alias("obj_key"),
+                F.lit(None).cast("map<string,string>").alias("props"),
+                ref.alias("reference"),
+            )
+
+        for b in range(6):
+            store.append_triples_batch("crawlerA", batch(b * 10, b * 10 + 10), b)
+        store.replace_triples("crawlerB", batch(0, 5).withColumn(
+            "reference", F.struct(
+                F.lit("crawlerB").alias("reference_name"),
+                *[F.col(f"reference.{f}").alias(f)
+                  for f in ("reference_org", "reference_url_data",
+                            "reference_url_info", "reference_time_fetch",
+                            "reference_time_modification")])))
+
+        before_rows = sorted(
+            (r["subj_id"], r["obj_id"])
+            for r in store.read_triples("crawlerA").collect())
+        assert len(before_rows) == 60
+
+        n_before, n_after = store.compact_triples("crawlerA")
+        assert n_before >= 6 and n_after == 1, (n_before, n_after)
+        after_rows = sorted(
+            (r["subj_id"], r["obj_id"])
+            for r in store.read_triples("crawlerA").collect())
+        assert after_rows == before_rows
+        # other partition untouched; compaction is idempotent
+        assert store.read_triples("crawlerB").count() == 5
+        again = store.compact_triples("crawlerA")
+        assert again == (1, 1)
+        # absent partition: graceful no-op
+        assert store.compact_triples("nope") == (0, 0)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_iceberg_rewrite_data_files_sql_text(spark):
+    """The catalog-side compaction statement (unit-testable text)."""
+    from iyp_spark.store_iceberg import rewrite_data_files_sql
+
+    sql = rewrite_data_files_sql("lake", "lake.iyp.triples", "crawlerA",
+                                 target_file_bytes=1024)
+    assert sql.startswith("CALL lake.system.rewrite_data_files(")
+    assert "table => 'lake.iyp.triples'" in sql
+    assert "'target-file-size-bytes', '1024'" in sql
+    assert "reference_name" in sql
+    # unscoped: whole-table compaction has no where clause
+    assert "where" not in rewrite_data_files_sql("lake", "lake.iyp.triples")
