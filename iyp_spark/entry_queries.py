@@ -1434,3 +1434,84 @@ def alias_components(spark, sf_dir):
         (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
     )
     return connected_components(edges, max_iter=100)
+
+
+@q("triangle_counts_cosupply", """
+WITH hot AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48
+),
+e0 AS (
+  SELECT DISTINCT a.l_suppkey AS lo, b.l_suppkey AS hi
+  FROM hot a JOIN hot b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM e0 e1
+  JOIN e0 e2 ON e2.lo = e1.hi
+  JOIN e0 e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+corners AS (
+  SELECT a AS node_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node_id, COUNT(*) AS n_triangles FROM corners GROUP BY node_id
+""")
+def triangle_counts_cosupply(spark, sf_dir):
+    # §2.11 graph metric: per-node triangle counts over the co-supply graph
+    # (suppliers linked when they both ship a hot line of the same order).
+    # The Spark side enumerates via degree-ordered orientation
+    # (graph/metrics.py — O(sqrt(m)) wedge fan-out per node at scale); the
+    # oracle enumerates the same triangle set via plain id-ordering, which
+    # is valid because the triangle SET is orientation-independent.
+    from .graph.metrics import triangle_counts
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return triangle_counts(edges)
+
+
+@q("component_size_hist", """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT l_partkey AS a, l_suppkey + 1000000 AS b
+  FROM lineitem WHERE l_quantity >= 49 AND l_discount >= 0.08
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(node, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+  WHERE reach.r < s.a
+),
+comp AS (SELECT node, MIN(r) AS component_id FROM reach GROUP BY node),
+sizes AS (SELECT component_id, COUNT(*) AS component_size FROM comp GROUP BY component_id)
+SELECT component_size, COUNT(*) AS n_components
+FROM sizes GROUP BY component_size
+""")
+def component_size_hist(spark, sf_dir):
+    # §2.11 apply-step metric over canonicalization output: the component
+    # size histogram (how big are the alias equivalence classes?) — the
+    # first sanity check a KG build runs after dedup canonicalization
+    # (a giant component = an over-merge bug). Same alias graph and CC
+    # fixpoint as alias_components; two integer-exact groupBys on top.
+    from .graph.canonicalize import connected_components
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 49) & (F.col("l_discount") >= 0.08)
+    )
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+    )
+    comp = connected_components(edges, max_iter=100)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return sizes.groupBy("component_size").agg(
+        F.count(F.lit(1)).alias("n_components")
+    )
