@@ -46,6 +46,9 @@ HEADLINE = [
     "doc_decontamination",
     "stratified_sample_balanced",
     "dedup_canonical_docs",
+    # round 5: graph metrics over canonicalization output
+    "triangle_counts_cosupply",
+    "component_size_hist",
 ]
 
 
