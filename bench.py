@@ -49,6 +49,7 @@ HEADLINE = [
     # round 5: graph metrics over canonicalization output
     "triangle_counts_cosupply",
     "component_size_hist",
+    "pagerank_cust_supp",
 ]
 
 

@@ -1515,3 +1515,95 @@ def component_size_hist(spark, sf_dir):
     return sizes.groupBy("component_size").agg(
         F.count(F.lit(1)).alias("n_components")
     )
+
+
+@q("alias_components_incremental", """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT l_partkey AS a, l_suppkey + 1000000 AS b
+  FROM lineitem
+  WHERE l_quantity >= 49 AND (l_discount >= 0.08 OR l_discount = 0.07)
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(node, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+  WHERE reach.r < s.a
+)
+SELECT node AS node_id, MIN(r) AS component_id FROM reach GROUP BY node
+""")
+def alias_components_incremental(spark, sf_dir):
+    # §2.12 incremental canonicalization: the Spark side labels BATCH 1
+    # (the alias_components edge set) with a full CC run, then merges
+    # BATCH 2 (the disjoint discount=0.07 slice) through
+    # incremental_components — quotient-graph CC, no second full pass.
+    # The oracle knows nothing about batches: it computes plain CC over
+    # the UNION, which the incremental composition must equal
+    # bit-for-bit (the invariant the operator guarantees).
+    from .graph.canonicalize import connected_components, incremental_components
+    li = tbl(spark, sf_dir, "lineitem")
+    def edge_set(cond):
+        return li.filter(cond).select(
+            F.col("l_partkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+        )
+    e1 = edge_set((F.col("l_quantity") >= 49) & (F.col("l_discount") >= 0.08))
+    e2 = edge_set((F.col("l_quantity") >= 49) & (F.col("l_discount") == 0.07))
+    labels = connected_components(e1, max_iter=100)
+    return incremental_components(labels, e2, max_iter=100)
+
+
+@q("pagerank_cust_supp", """
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= 45
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+c1 AS (
+  SELECT e.dst, CAST(SUM(r0.rank // od.outdeg) AS BIGINT) AS s
+  FROM e JOIN od USING (src) JOIN r0 ON r0.node = e.src GROUP BY e.dst
+),
+r1 AS (
+  SELECT n.node, CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c1 ON c1.dst = n.node
+),
+c2 AS (
+  SELECT e.dst, CAST(SUM(r1.rank // od.outdeg) AS BIGINT) AS s
+  FROM e JOIN od USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst
+),
+r2 AS (
+  SELECT n.node, CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c2 ON c2.dst = n.node
+),
+c3 AS (
+  SELECT e.dst, CAST(SUM(r2.rank // od.outdeg) AS BIGINT) AS s
+  FROM e JOIN od USING (src) JOIN r2 ON r2.node = e.src GROUP BY e.dst
+),
+r3 AS (
+  SELECT n.node, CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c3 ON c3.dst = n.node
+)
+SELECT node AS node_id, rank AS pr_scaled FROM r3
+""")
+def pagerank_cust_supp(spark, sf_dir):
+    # §2.11 graph metric: link-analysis centrality (the in-engine analog of
+    # the AS-Rank scores the reference ingests precomputed from CAIDA,
+    # iyp/crawlers/caida/asrank.py) over the directed customer->supplier
+    # purchase graph. Integer fixed-point PageRank (graph/metrics.py): the
+    # whole recurrence is BIGINT div/sum, so Spark and the unrolled DuckDB
+    # oracle agree bit-for-bit — no cross-engine float summation drift and
+    # no HUGEINT hash trap (every oracle aggregate is CAST to BIGINT).
+    from .graph.metrics import pagerank_integer
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+        )
+    )
+    return pagerank_integer(edges, iterations=3)

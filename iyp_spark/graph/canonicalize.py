@@ -90,8 +90,13 @@ def connected_components(edges: DataFrame, max_iter: int = 200,
         )
         # convergence: per-node labels only ever DECREASE under min-label
         # propagation, so an unchanged global sum is a fixpoint — one tiny
-        # aggregate per round instead of a new-vs-old join + count
-        cur_sum = new_comp.agg(F.sum("comp")).collect()[0][0]
+        # aggregate per round instead of a new-vs-old join + count. Summed
+        # as DECIMAL(38,0): real node ids are full-range xxhash64 longs, so
+        # a BIGINT sum overflows under ANSI mode (crashed on the 0.2-scale
+        # verify graph); decimal is exact to ~1e19 rows of |id|<=2^63.
+        cur_sum = new_comp.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))
+        ).collect()[0][0]
         comp = new_comp
         if cur_sum == prev_sum:
             converged = True
@@ -104,6 +109,73 @@ def connected_components(edges: DataFrame, max_iter: int = 200,
             f"iteration budget; raise max_iter (labels would be PARTIAL)"
         )
     return comp.select(F.col("node").alias("node_id"), F.col("comp").alias("component_id"))
+
+
+def incremental_components(labels: DataFrame, new_edges: DataFrame,
+                           max_iter: int = 200) -> DataFrame:
+    """Merge a NEW batch of alias edges into an EXISTING min-label
+    component labeling without recomputing components over the full graph
+    — the weekly-build path: IYP rebuilds its whole Neo4j DB per run
+    (create_db.py crawler loop), but at 10^12 nodes a rebuild for 0.1%
+    new alias edges is the difference between minutes and a full pass.
+
+    labels: (node_id, component_id) from a prior ``connected_components``
+    run (component_id = min member id — the invariant this relies on).
+    new_edges: (src, dst) alias pairs, may touch labeled or brand-new
+    nodes. Returns the same (node_id, component_id) shape, EXACTLY equal
+    to full recomputation over (old edges ∪ new edges):
+
+    - every new-edge endpoint resolves to its current representative
+      (its own id if unlabeled);
+    - CC runs on the QUOTIENT graph — edges between representatives —
+      whose size is bounded by 2·|new_edges|, independent of corpus size;
+    - because old labels are min member ids and fresh nodes carry their
+      own id, the quotient min IS the global min of each merged
+      component, so composing the quotient map over the old labels
+      reproduces full-recompute labels bit-for-bit.
+
+    Scale shape: two hash-joins to build the quotient edges (lookups on
+    the new-edge endpoints only), CC over a tiny edge set, then ONE join
+    of the big labels table against the quotient remap — broadcastable,
+    since the remap is bounded by the touched-representative count."""
+    pts = (
+        new_edges.select(F.col("src").alias("node_id"))
+        .unionByName(new_edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    fresh = (
+        pts.join(labels, "node_id", "left_anti")
+        .select("node_id", F.col("node_id").alias("component_id"))
+    )
+    all_labels = labels.unionByName(fresh).localCheckpoint(eager=True)
+
+    lut = all_labels.select(
+        F.col("node_id").alias("n"), F.col("component_id").alias("c")
+    )
+    qedges = (
+        new_edges
+        .join(lut.withColumnRenamed("n", "src"), "src")
+        .withColumnRenamed("c", "qsrc")
+        .join(lut.withColumnRenamed("n", "dst"), "dst")
+        .withColumnRenamed("c", "qdst")
+        .filter(F.col("qsrc") != F.col("qdst"))
+        .select(F.col("qsrc").alias("src"), F.col("qdst").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if qedges.isEmpty():
+        return all_labels
+    remap = connected_components(qedges, max_iter=max_iter).select(
+        F.col("node_id").alias("component_id"),
+        F.col("component_id").alias("merged_id"),
+    )
+    return (
+        all_labels.join(remap, "component_id", "left")
+        .select(
+            "node_id",
+            F.coalesce("merged_id", "component_id").alias("component_id"),
+        )
+    )
 
 
 def canonical_id_mapping(store) -> DataFrame:

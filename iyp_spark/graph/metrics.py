@@ -1,4 +1,4 @@
-"""Graph metrics — degree-ordered triangle enumeration.
+"""Graph metrics — degree-ordered triangle enumeration, integer PageRank.
 
 Reference parity (SURVEY §2.11): the reference answers neighborhood-shape
 questions (sibling cliques from inetintel/as_org.py sibling edges, IXP
@@ -69,3 +69,67 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     tri = wedges.join(e3, ["a", "c"]).select("a", "b", "c")
     corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node_id"))
     return corners.groupBy("node_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over directed (src, dst) edges, computed
+    entirely in BIGINT fixed-point so the result is bit-identical across
+    engines (reference parity: CAIDA AS-Rank ingested by iyp/crawlers/
+    caida/asrank.py is exactly this kind of link-analysis centrality over
+    the AS graph; here we compute the centrality in-engine instead of
+    ingesting a precomputed one).
+
+    Spec (shared verbatim with the SQL oracle):
+      r0(v)    = scale                                   for every node
+      r_{k+1}(v) = base + (damping_pct * S_k(v)) div 100,
+                   base = (scale * (100 - damping_pct)) div 100,
+                   S_k(v) = sum over distinct edges u->v of
+                            (r_k(u) div outdeg(u))
+    Dangling mass is dropped (not redistributed) — deterministic and
+    engine-portable; all divisions are integer div on non-negative values,
+    so truncation == floor in both Spark and DuckDB.
+
+    Scale design: outdeg is joined onto the edge list ONCE (one shuffle,
+    then checkpointed); each iteration is one hash-join on src (ranks are
+    a node-keyed table) + one map-side-combinable SUM groupBy on dst + one
+    left join back to the node set. No Python, no floats, no cartesian.
+    Rank magnitudes stay <= n * scale (fits BIGINT to ~9e12 nodes at the
+    default scale); localCheckpoint per round keeps lineage linear.
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = e.join(outdeg, "src").localCheckpoint(eager=True)
+    base = (scale * (100 - damping_pct)) // 100
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            ew.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("rank div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, 0L)) div 100"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("node").alias("node_id"), F.col("rank").alias("pr_scaled"))

@@ -114,6 +114,59 @@ def test_connected_components_nonconvergence_raises(spark):
     assert part.count() == 31
 
 
+def test_connected_components_full_range_ids(spark):
+    """Real node ids are xxhash64 longs spanning the whole signed-64 range;
+    the convergence aggregate must not overflow under ANSI mode (it did,
+    as a BIGINT sum, on the 0.2-scale verify graph). Two components built
+    from near-Long.MAX ids — any long-typed sum of these throws."""
+    top = 9_223_372_036_854_775_800  # Long.MAX - 7
+    pairs = [(top, top - 1), (top - 1, top - 2),
+             (top - 4, top - 5), (-top, top - 2)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["node_id"]: r["component_id"]
+           for r in connected_components(e).collect()}
+    assert got == {top: -top, top - 1: -top, top - 2: -top, -top: -top,
+                   top - 4: top - 5, top - 5: top - 5}
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """incremental_components(CC(batch1), batch2) must reproduce
+    CC(batch1 ∪ batch2) bit-for-bit. The second batch exercises every
+    case: a bridge merging two existing components (4-20), a fresh node
+    attaching to a labeled one (11-50), a fresh-only component (60-61),
+    and a redundant edge inside an existing component (21-23, no-op)."""
+    from iyp_spark.graph.canonicalize import incremental_components
+
+    batch1 = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (3, 4)]
+    batch2 = [(4, 20), (11, 50), (60, 61), (21, 23)]
+    e1 = spark.createDataFrame(batch1, "src long, dst long")
+    e2 = spark.createDataFrame(batch2, "src long, dst long")
+    full = {
+        r["node_id"]: r["component_id"]
+        for r in connected_components(e1.unionByName(e2)).collect()
+    }
+    inc = {
+        r["node_id"]: r["component_id"]
+        for r in incremental_components(connected_components(e1), e2).collect()
+    }
+    assert inc == full
+    # sanity on the merged shape itself
+    assert inc[20] == inc[4] == 1 and inc[50] == 10 and inc[61] == 60
+
+
+def test_incremental_components_noop_batch(spark):
+    """A batch whose edges all land inside existing components must
+    return the input labeling unchanged (the qedges-empty early exit)."""
+    from iyp_spark.graph.canonicalize import incremental_components
+
+    e1 = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    labels = connected_components(e1)
+    e2 = spark.createDataFrame([(1, 3), (2, 2)], "src long, dst long")
+    out = {r["node_id"]: r["component_id"]
+           for r in incremental_components(labels, e2).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
 def test_resolve_cname_chains(spark):
     resolves = spark.createDataFrame([("c.example", "1.2.3.4")], ["host", "ip"])
     aliases = spark.createDataFrame(

@@ -1,11 +1,11 @@
-"""Degree-ordered triangle enumeration (graph/metrics.py) on handcrafted
-graphs with known triangle counts."""
+"""Degree-ordered triangle enumeration and integer PageRank
+(graph/metrics.py) on handcrafted graphs with known results."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from iyp_spark.graph.metrics import oriented_edges, triangle_counts
+from iyp_spark.graph.metrics import oriented_edges, pagerank_integer, triangle_counts
 
 
 def _edges(spark, pairs):
@@ -34,6 +34,48 @@ def test_triangle_counts_triangle_free(spark):
     # A path and a star: zero triangles -> empty result.
     pairs = [(1, 2), (2, 3), (3, 4), (9, 5), (9, 6), (9, 7)]
     assert triangle_counts(_edges(spark, pairs)).count() == 0
+
+
+def _pagerank_py(pairs, iterations=3, scale=1_000_000, damping_pct=85):
+    # Straight-line mirror of the pagerank_integer spec: BIGINT fixed-point,
+    # truncating integer division, dangling mass dropped.
+    edges = sorted(set(pairs))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = (scale * (100 - damping_pct)) // 100
+    rank = {n: scale for n in nodes}
+    for _ in range(iterations):
+        s = {n: 0 for n in nodes}
+        for u, v in edges:
+            s[v] += rank[u] // outdeg[u]
+        rank = {n: base + (damping_pct * s[n]) // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_integer_matches_python_mirror(spark):
+    # Hub-authority shape with a dangling node (4 has no out-edges), a
+    # duplicate edge that must collapse, and a 2-cycle.
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (5, 4), (5, 4), (2, 1)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["node_id"]: r["pr_scaled"] for r in pagerank_integer(df).collect()}
+    assert got == _pagerank_py(pairs)
+    # node 5 has no in-edges -> pure teleport base, the minimum; the hub 3
+    # (fed by both 1 and 2) outranks it and its own feeders.
+    assert got[5] == min(got.values())
+    assert got[3] > got[5] and got[4] > got[5]
+
+
+def test_pagerank_integer_uniform_on_cycle(spark):
+    # On a directed cycle every node keeps (nearly) the full mass: the
+    # recurrence is exactly r' = base + 85*r//100, identical per node.
+    pairs = [(1, 2), (2, 3), (3, 1)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    rows = pagerank_integer(df, iterations=5).collect()
+    vals = {r["pr_scaled"] for r in rows}
+    assert len(rows) == 3 and len(vals) == 1
+    assert vals == {_pagerank_py(pairs, iterations=5)[1]}
 
 
 def test_oriented_edges_degree_order_and_dedup(spark):
