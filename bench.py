@@ -50,6 +50,8 @@ HEADLINE = [
     "triangle_counts_cosupply",
     "component_size_hist",
     "pagerank_cust_supp",
+    "landmark_hops",
+    "sssp_cheapest_3hop",
 ]
 
 

@@ -1607,3 +1607,95 @@ def pagerank_cust_supp(spark, sf_dir):
         )
     )
     return pagerank_integer(edges, iterations=3)
+
+
+@q("landmark_hops", """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT 'P:' || CAST(l_partkey AS VARCHAR) AS src,
+                  'S:' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem
+  UNION
+  SELECT DISTINCT 'S:' || CAST(l_suppkey AS VARCHAR),
+                  'P:' || CAST(l_partkey AS VARCHAR) FROM lineitem
+),
+reach(seed, node, hop) AS (
+  SELECT s.seed, s.seed, CAST(0 AS BIGINT)
+  FROM (VALUES ('P:1'), ('P:2'), ('P:3')) s(seed)
+  UNION
+  SELECT r.seed, e.dst, r.hop + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.hop < 2
+)
+SELECT seed, node, MIN(hop) AS hop FROM reach GROUP BY seed, node
+""")
+def landmark_hops(spark, sf_dir):
+    # §2.11 landmark-distance sketch: ONE multi-source BFS from a small
+    # landmark set (parts 1-3) over the undirected part<->supplier graph,
+    # emitting the per-landmark hop vector every distance-oracle sketch is
+    # built from (at 10^12 nodes, all-pairs is impossible; L landmark
+    # vectors + triangle inequality is the standard approximation). The
+    # DuckDB oracle runs the same bounded traversal per seed as a
+    # recursive CTE.
+    from .graph.canonicalize import multi_source_bfs
+    li = tbl(spark, sf_dir, "lineitem")
+    p2s = li.select(
+        F.concat(F.lit("P:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("S:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = p2s.unionByName(
+        p2s.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = spark.createDataFrame(
+        [("P:1",), ("P:2",), ("P:3",)], ["seed"])
+    return multi_source_bfs(edges, seeds, max_hops=2)
+
+
+@q("sssp_cheapest_3hop", """
+WITH RECURSIVE edges AS (
+  SELECT src, dst, w FROM (
+    SELECT 'P:' || CAST(l_partkey AS VARCHAR) AS src,
+           'S:' || CAST(l_suppkey AS VARCHAR) AS dst,
+           CAST(MIN(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+    FROM lineitem GROUP BY 1, 2
+  )
+  UNION ALL
+  SELECT dst, src, w FROM (
+    SELECT 'P:' || CAST(l_partkey AS VARCHAR) AS src,
+           'S:' || CAST(l_suppkey AS VARCHAR) AS dst,
+           CAST(MIN(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+    FROM lineitem GROUP BY 1, 2
+  )
+),
+paths(node, d, hop) AS (
+  SELECT 'P:1', CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, p.d + e.w, p.hop + 1
+  FROM paths p JOIN edges e ON e.src = p.node
+  WHERE p.hop < 3
+)
+SELECT node, MIN(d) AS dist FROM paths GROUP BY node
+""")
+def sssp_cheapest_3hop(spark, sf_dir):
+    # §2.11 weighted shortest path (Bellman-Ford rounds, bounded hops):
+    # cheapest <=3-edge route from part 1 over the part<->supplier graph,
+    # edge weight = min line price in integer cents (exact BIGINT math on
+    # both engines). After k rounds the Spark table is exactly
+    # min-cost-over-<=k-hop-paths, which the oracle enumerates directly.
+    from .graph.metrics import weighted_sssp
+    li = tbl(spark, sf_dir, "lineitem")
+    pw = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+             .alias("w"))
+        .select(
+            F.concat(F.lit("P:"), F.col("l_partkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("S:"), F.col("l_suppkey").cast("string"))
+            .alias("dst"),
+            "w",
+        )
+    )
+    edges = pw.unionByName(
+        pw.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    seeds = spark.range(1).select(F.lit("P:1").alias("node"))
+    return weighted_sssp(edges, seeds, max_hops=3)

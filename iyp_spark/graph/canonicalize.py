@@ -259,3 +259,51 @@ def bfs_reach(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def multi_source_bfs(edges: DataFrame, seeds: DataFrame,
+                     max_hops: int) -> DataFrame:
+    """Per-seed bounded-hop BFS: minimum hop count from EACH seed
+    separately — the landmark-distance primitive. At 10^12-node scale
+    exact all-pairs distances are impossible; the standard sketch
+    (Das Sarma et al., landmark/bfs embedding) runs one multi-source BFS
+    from a small landmark set and answers distance queries by triangle
+    inequality over the per-landmark vectors. The reference answers these
+    shapes at read time with Cypher ``shortestPath`` per query pair
+    (SURVEY §2.11, gallery.md); a batch engine precomputes the landmark
+    vectors once instead.
+
+    edges: (src string, dst string) directed — pass both directions for
+    undirected. seeds: (seed string) — each seed starts its own BFS at its
+    own node. Returns (seed, node, hop): min hops from that seed, 0 at the
+    seed itself, capped at max_hops.
+
+    Scale shape: identical to ``bfs_reach`` but every frontier/visited row
+    carries its seed id, so the per-hop hash-join fans out |landmarks|×
+    and the anti-join key is (seed, node) — both hash-partitioned; with
+    L landmarks the state is at most L×|V|, which is the sketch's whole
+    point (L is small). localCheckpoint per hop keeps lineage linear; the
+    only driver work per hop is an isEmpty() on a materialized frontier.
+    """
+    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    visited = (
+        seeds.select("seed").distinct()
+        .select("seed", F.col("seed").alias("node"))
+        .withColumn("hop", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
+            .withColumn("hop", F.lit(h).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -133,3 +133,55 @@ def pagerank_integer(
             .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("node").alias("node_id"), F.col("rank").alias("pr_scaled"))
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+) -> DataFrame:
+    """Bounded-hop single-source shortest paths (Bellman-Ford rounds) over
+    directed (src, dst, w) edges with non-negative BIGINT weights — the
+    weighted companion of ``canonicalize.bfs_reach`` (SURVEY §2.11: the
+    reference's Cypher cost-path gallery shapes, answered as a batch job).
+
+    seeds: (node). Returns (node, dist long): the minimum total weight
+    over any path from a seed using at most ``max_hops`` edges (0 at the
+    seeds; unreachable nodes absent). After round k the table holds
+    EXACTLY min-cost-over-<=k-hop-paths per node (the classic Bellman-Ford
+    invariant, preserved because each round relaxes from the full
+    best-so-far table), so a hop-bounded path-enumeration SQL oracle
+    verifies it bit-for-bit — all arithmetic is BIGINT add/min, no floats.
+
+    Scale shape: per round, one hash-join (dist ⋈ edges on node=src,
+    both sides partitioned on the key), one map-side-combinable MIN
+    groupBy, and a union+MIN with the previous table — no Python, no
+    cartesian, frontier bounded by |V|. Dijkstra's priority queue is
+    inherently sequential; hop-synchronous relaxation is the shape that
+    runs on 1000 executors (delta-stepping reduces to this with one
+    bucket at batch granularity). localCheckpoint per round keeps
+    lineage linear; no driver-side row iteration at all.
+    """
+    e = (
+        edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+        .groupBy("src", "dst").agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select("node").distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            dist.join(e, dist.node == e.src)
+            .select(F.col("dst").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

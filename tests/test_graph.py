@@ -287,3 +287,58 @@ def test_bfs_reach_early_exit_isolated_seed(spark):
     seeds = spark.createDataFrame([("z",)], ["node"])
     got = bfs_reach(edges, seeds, max_hops=5).collect()
     assert [(r["node"], r["hop"]) for r in got] == [("z", 0)]
+
+
+def test_multi_source_bfs_per_seed_independence(spark):
+    # two seeds in one pass must reproduce two independent bfs_reach runs:
+    # a-side chain a->b->c, z isolated seed, shared node c reachable from
+    # both at different hops (a: 2, m: 1).
+    from iyp_spark.graph.canonicalize import bfs_reach, multi_source_bfs
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("m", "c"), ("c", "d")], ["src", "dst"])
+    seeds = spark.createDataFrame([("a",), ("m",), ("z",)], ["seed"])
+    got = {(r["seed"], r["node"]): r["hop"]
+           for r in multi_source_bfs(edges, seeds, max_hops=3).collect()}
+    assert got == {
+        ("a", "a"): 0, ("a", "b"): 1, ("a", "c"): 2, ("a", "d"): 3,
+        ("m", "m"): 0, ("m", "c"): 1, ("m", "d"): 2,
+        ("z", "z"): 0,
+    }
+    # cross-check against the single-source primitive, seed by seed
+    for s in ("a", "m", "z"):
+        solo = {r["node"]: r["hop"] for r in bfs_reach(
+            edges, spark.createDataFrame([(s,)], ["node"]), max_hops=3
+        ).collect()}
+        multi = {k[1]: v for k, v in got.items() if k[0] == s}
+        assert multi == solo
+
+
+def test_weighted_sssp_prefers_cheaper_longer_path(spark):
+    # a->b (10) ->c (1) vs direct a->c (100): 2-hop route wins once
+    # max_hops >= 2; at max_hops=1 only the direct edge is visible —
+    # the hop-bounded Bellman-Ford invariant, stated exactly.
+    from iyp_spark.graph.metrics import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("b", "c", 1), ("a", "c", 100), ("c", "d", 5)],
+        ["src", "dst", "w"],
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    one = {r["node"]: r["dist"]
+           for r in weighted_sssp(edges, seeds, max_hops=1).collect()}
+    assert one == {"a": 0, "b": 10, "c": 100}
+    three = {r["node"]: r["dist"]
+             for r in weighted_sssp(edges, seeds, max_hops=3).collect()}
+    assert three == {"a": 0, "b": 10, "c": 11, "d": 16}
+
+
+def test_weighted_sssp_parallel_edges_take_min(spark):
+    from iyp_spark.graph.metrics import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [("a", "b", 7), ("a", "b", 3)], ["src", "dst", "w"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["dist"]
+           for r in weighted_sssp(edges, seeds, max_hops=2).collect()}
+    assert got == {"a": 0, "b": 3}
