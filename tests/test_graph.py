@@ -342,3 +342,67 @@ def test_weighted_sssp_parallel_edges_take_min(spark):
     got = {r["node"]: r["dist"]
            for r in weighted_sssp(edges, seeds, max_hops=2).collect()}
     assert got == {"a": 0, "b": 3}
+
+
+def test_graph_distance_ops_match_python_reference_on_random_graphs(spark):
+    """Seeded random graphs, cross-checked against straight-line Python
+    BFS / Bellman-Ford — the same independent-implementation discipline
+    as the crawler golden suite, applied to the distance primitives."""
+    import random
+
+    from iyp_spark.graph.canonicalize import multi_source_bfs
+    from iyp_spark.graph.metrics import weighted_sssp
+
+    rng = random.Random(20260819)
+    for trial in range(4):
+        n = rng.randint(5, 14)
+        nodes = [f"n{i}" for i in range(n)]
+        edges = []
+        for _ in range(rng.randint(n, 3 * n)):
+            a, b = rng.sample(nodes, 2)
+            edges.append((a, b, rng.randint(1, 20)))
+        hops = rng.randint(1, 4)
+        seeds = rng.sample(nodes, rng.randint(1, 3))
+
+        # python reference: hop-bounded BFS per seed and Bellman-Ford
+        adj = {}
+        for a, b, w in edges:
+            adj.setdefault(a, []).append((b, w))
+        ref_bfs = {}
+        for s in seeds:
+            dist = {s: 0}
+            frontier = [s]
+            for h in range(1, hops + 1):
+                nxt = []
+                for u in frontier:
+                    for v, _ in adj.get(u, []):
+                        if v not in dist:
+                            dist[v] = h
+                            nxt.append(v)
+                frontier = nxt
+            for node, h in dist.items():
+                ref_bfs[(s, node)] = h
+        ref_sssp = {s: 0 for s in seeds}
+        for _ in range(hops):
+            cur = dict(ref_sssp)
+            for a, b, w in edges:
+                if a in ref_sssp and ref_sssp[a] + w < cur.get(b, float("inf")):
+                    cur[b] = ref_sssp[a] + w
+            ref_sssp = cur
+
+        edf = spark.createDataFrame(edges, ["src", "dst", "w"])
+        sdf = spark.createDataFrame([(s,) for s in seeds], ["seed"])
+        got_bfs = {
+            (r["seed"], r["node"]): r["hop"]
+            for r in multi_source_bfs(
+                edf.select("src", "dst"), sdf, max_hops=hops
+            ).collect()
+        }
+        assert got_bfs == ref_bfs, f"bfs mismatch on trial {trial}"
+        got_sssp = {
+            r["node"]: r["dist"]
+            for r in weighted_sssp(
+                edf, sdf.withColumnRenamed("seed", "node"), max_hops=hops
+            ).collect()
+        }
+        assert got_sssp == ref_sssp, f"sssp mismatch on trial {trial}"
