@@ -222,3 +222,53 @@ def windowed_event_counts(
         .start()
     )
     query.awaitTermination()
+
+
+def sessionized_user_activity(
+    spark: SparkSession, drop_dir: str, out_dir: str, checkpoint_dir: str,
+    gap: str = "30 minutes", late: str = "2 hours",
+) -> None:
+    """Event-time SESSION windows with a watermark: per-user activity
+    sessions that close when the user goes quiet for ``gap``. Unlike the
+    fixed windows above, session windows have data-driven extents — a new
+    event inside the gap EXTENDS the open session (including merging
+    state across micro-batches and restarts), which no fixed-window
+    groupBy can express. This is the streaming dual of the batch
+    ``event_sessions`` query (entry_queries.py): same gap semantics,
+    incremental state instead of a lag window over history.
+
+    Append mode emits a session exactly once, when the watermark (max
+    event time − ``late``) passes the session's end (last event + gap);
+    events later than the watermark are dropped rather than reopening an
+    emitted session — bounded state on an unbounded stream.
+
+    Scale path: session state is hash-partitioned by the grouping key
+    (user), one open-session row per quiet-for-less-than-``gap`` user —
+    bounded by active users in the watermark horizon, independent of
+    stream length; merges are local to the key's partition.
+    """
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(drop_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", late)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "user_id", "n_events", "sum_value",
+        )
+    )
+    query = (
+        agg.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .start()
+    )
+    query.awaitTermination()

@@ -264,3 +264,65 @@ def test_iceberg_rewrite_data_files_sql_text(spark):
     assert "reference_name" in sql
     # unscoped: whole-table compaction has no where clause
     assert "where" not in rewrite_data_files_sql("lake", "lake.iyp.triples")
+
+
+def test_session_windows_merge_and_finalize(spark):
+    """Session windows: an event within the gap EXTENDS the open session —
+    across micro-batches — and a session is emitted exactly once, when the
+    watermark passes last-event + gap."""
+    import datetime as dt
+    import glob
+
+    from iyp_spark.streaming import EVENTS_SCHEMA, sessionized_user_activity
+
+    base = tempfile.mkdtemp(prefix="iyp_stream5_")
+
+    def t(h, m):
+        return dt.datetime(2026, 1, 1, h, m)
+
+    def drop_events(rows, part):
+        df = spark.createDataFrame(
+            [(i, ts, uid, "click", 1.0, "{}") for i, (ts, uid) in enumerate(rows)],
+            EVENTS_SCHEMA,
+        )
+        stage = os.path.join(base, f"stage_{part}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        os.makedirs(os.path.join(base, "drop"), exist_ok=True)
+        shutil.move(
+            glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+            os.path.join(base, "drop", f"{part}.parquet"),
+        )
+
+    def run():
+        sessionized_user_activity(
+            spark, os.path.join(base, "drop"), os.path.join(base, "out"),
+            os.path.join(base, "cp"),
+        )
+        out = os.path.join(base, "out")
+        if not [f for f in os.listdir(out) if f.endswith(".parquet")]:
+            return {}
+        return {
+            (r["user_id"], r["sess_start"].strftime("%H:%M"),
+             r["sess_end"].strftime("%H:%M")): r["n_events"]
+            for r in spark.read.parquet(out).collect()
+        }
+
+    try:
+        # run 1: user 1 starts a session at 00:00; nothing finalized
+        drop_events([(t(0, 0), 1)], "p1")
+        assert run() == {}
+
+        # run 2: 00:10 is inside the 30-min gap -> MERGES into the open
+        # session (cross-batch state), extending its end to 00:40; a
+        # 05:00 event (user 2) advances the watermark to 03:00, which
+        # passes 00:40 -> user 1's session emits once with BOTH events
+        drop_events([(t(0, 10), 1), (t(5, 0), 2)], "p2")
+        assert run() == {(1, "00:00", "00:40"): 2}
+
+        # run 3: 09:00 advances the watermark to 07:00, finalizing user
+        # 2's session; a late 00:05 event (behind the watermark) is
+        # dropped — the emitted user-1 session is NOT reopened or re-sent
+        drop_events([(t(0, 5), 1), (t(9, 0), 2)], "p3")
+        assert run() == {(1, "00:00", "00:40"): 2, (2, "05:00", "05:30"): 1}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
