@@ -835,6 +835,24 @@ def multimodal_decode_meta(spark, sf_dir):
     return decode_media(docs_as_media(tbl(spark, sf_dir, "documents")))
 
 
+@q("multimodal_audio_meta", """
+SELECT doc_id, 'stub' AS container,
+       CAST(1 AS INT) AS n_channels,
+       CAST(16000 AS INT) AS sample_rate_hz,
+       CAST(16 AS INT) AS bits_per_sample,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+       CAST(octet_length(encode(text)) * 1000 // 16000 AS BIGINT) AS duration_ms
+FROM documents
+""")
+def multimodal_audio_meta(spark, sf_dir):
+    # Audio decode stage (ops.multimodal.decode_audio): synthetic text
+    # payloads take the deterministic stub branch the oracle mirrors; the
+    # REAL RIFF/WAVE header parser in the same mapInPandas pass is
+    # exercised by pytest on hand-built WAV bytes (tests/test_ops.py).
+    from .ops.multimodal import decode_audio, docs_as_media
+    return decode_audio(docs_as_media(tbl(spark, sf_dir, "documents")))
+
+
 @q("multimodal_features", """
 SELECT doc_id, CAST(i AS INT) AS dim_i,
        ((octet_length(encode(text)) * (2 * i + 3)) % 997) / 1000.0 AS feature
@@ -1358,6 +1376,78 @@ def doc_pack_sequences(spark, sf_dir):
     # partition assigns every doc to its fixed-budget training sequence.
     from .ops.packing import pack_sequences
     return pack_sequences(tbl(spark, sf_dir, "documents"))
+
+
+@q("mixture_sample_sqrt", """
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT lang,
+             CAST(FLOOR(SQRT(n * MIN(n) OVER ())) AS BIGINT) AS quota
+      FROM c),
+r AS (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+SELECT doc_id, lang, rn, quota FROM r JOIN m USING (lang) WHERE rn <= quota
+""")
+def mixture_sample_sqrt(spark, sf_dir):
+    # Temperature-0.5 mixture (quota_i = floor(sqrt(n_i * min_n)) — the
+    # geometric mean of proportional and balanced): the p_i^alpha
+    # downsampling multilingual training mixes use. floor(sqrt) of an
+    # exact-integer double is engine-identical (IEEE sqrt is correctly
+    # rounded), so the sample is oracle-exact like the balanced one.
+    from .ops.sampling import sqrt_mixture_sample
+    return sqrt_mixture_sample(tbl(spark, sf_dir, "documents"))
+
+
+@q("tfidf_top_terms", f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                  CAST(df AS BIGINT) AS df,
+                  CAST(tf * ((n_docs * 10000) // df) AS BIGINT) AS tfidf_scaled
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, df, tfidf_scaled, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      ORDER BY tfidf_scaled DESC, term) AS INT) AS rk
+  FROM scored) WHERE rk <= 3
+""")
+def tfidf_top_terms(spark, sf_dir):
+    # Integer fixed-point TF-IDF (idf = N*10000 div df, basis points —
+    # monotone in log(N/df)), top-3 distinctive terms per document.
+    # Exactly the pagerank_integer portability discipline: every
+    # aggregate CAST to BIGINT on the oracle side, integer div only.
+    from .ops.text import tfidf_top_terms as op
+    return op(tbl(spark, sf_dir, "documents"), k=3)
+
+
+@q("pmi_collocations", f"""
+WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+bg AS (SELECT unnest(list_transform(
+                  range(1, greatest(len(toks) - 1, 0) + 1),
+                  i -> struct_pack(x := toks[i], y := toks[i+1]))) AS b
+       FROM tok),
+bgc AS (SELECT b.x AS x, b.y AS y, COUNT(*) AS c_xy FROM bg
+        GROUP BY b.x, b.y HAVING COUNT(*) >= 5),
+uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY t),
+w AS (SELECT CAST(SUM(c) AS BIGINT) AS w FROM uni),
+scored AS (SELECT x || ' ' || y AS bigram, CAST(c_xy AS BIGINT) AS c_xy,
+                  CAST((c_xy * w * 10000) // (cx.c * cy.c) AS BIGINT) AS pmi10k
+           FROM bgc JOIN uni cx ON cx.t = bgc.x
+                    JOIN uni cy ON cy.t = bgc.y
+                    CROSS JOIN w)
+SELECT bigram, c_xy, pmi10k, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY pmi10k DESC, bigram) AS INT) AS rk
+  FROM scored) WHERE rk <= 20
+""")
+def pmi_collocations(spark, sf_dir):
+    # Collocation mining: top-20 bigrams by integer fixed-point PMI lift
+    # (p(y|x)/p(y) in basis points) among bigrams seen >= 5 times. The
+    # min-count filter is what bounds the final global rank window.
+    from .ops.text import pmi_collocations as op
+    return op(tbl(spark, sf_dir, "documents"), min_count=5, top_n=20)
 
 
 @q("bfs_reach_3hop", """

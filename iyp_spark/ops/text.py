@@ -177,3 +177,109 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(norm).alias("fp"),
         F.substring(F.md5(norm), 1, 8).alias("fp8"),
     )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, n_docs: int | None = None) -> DataFrame:
+    """Top-k most distinctive terms per document by integer fixed-point
+    TF-IDF: tfidf_scaled = tf * ((N_docs * 10000) div df) — the idf is the
+    inverse document frequency in basis points (the log is monotone in
+    N/df, so rank order inside a document matches log-idf TF-IDF whenever
+    tf ties don't straddle the quantization; integer div keeps the score
+    bit-identical across engines, the same fixed-point discipline as
+    pagerank_integer). Ties broken by term text ascending.
+
+    Returns (doc_id, term, tf, df, tfidf_scaled, rk) with rk <= k.
+
+    ``n_docs`` (the corpus size scalar) is collected once on the driver if
+    not supplied — the same provably-tiny driver scalar class as the CC
+    convergence sums; passing it explicitly keeps the plan fully lazy.
+
+    Scale: tf is one map-side-combinable (doc_id, term) count riding the
+    corpus partitioning; df is one map-side-combinable term count over the
+    tf rows (|vocab| results); the score join shuffles on term (skew from
+    stopword-heavy terms is bounded because df rows are unique per term —
+    the fact side is the tf table, salted automatically by AQE if a term
+    is hot); top-k is one rank window partitioned by doc_id."""
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if n_docs is None:
+        n_docs = docs.select("doc_id").distinct().count()
+    scored = tf.join(dfreq, "term").select(
+        "doc_id", "term", "tf", "df",
+        F.expr(f"tf * (({n_docs}L * 10000L) div df)").alias("tfidf_scaled"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_scaled"), F.asc("term")
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+
+
+def pmi_collocations(docs: DataFrame, min_count: int = 5, top_n: int = 20) -> DataFrame:
+    """Corpus-level collocation mining: the ``top_n`` word bigrams with the
+    highest pointwise-mutual-information lift among those occurring at
+    least ``min_count`` times. The lift is integer fixed-point:
+
+        pmi10k = (c_xy * W * 10000) div (c_x * c_y)
+
+    where c_xy is the bigram count, c_x / c_y the unigram counts, and W
+    the total token count — i.e. p(y|x)/p(y) in basis points (equal to
+    the PMI ratio up to the constant W/B, B = total bigrams; the log is
+    monotone so ranking is PMI ranking). All BIGINT: c_xy * W * 10000
+    stays under 2^63 up to ~9e14 token-count-times-bigram-count products;
+    beyond that scale both engines switch the numerator to DECIMAL.
+
+    Returns (bigram, c_xy, pmi10k, rk), rk <= top_n, ordered by lift
+    descending then bigram text.
+
+    Scale: bigrams are assembled map-side (zip_with over two token-array
+    slices, no self-join — same shape as repetition_stats); unigram and
+    bigram counts are map-side-combinable groupBys; the two count joins
+    key on the bigram's words. The final global rank window runs on ONLY
+    the rows surviving ``min_count`` (a corpus has few frequent bigrams —
+    the filter is what bounds the single-reducer window; raise min_count
+    with corpus size)."""
+    from pyspark.sql import Window
+
+    d = docs.select("doc_id", tokens_col().alias("toks"))
+    n_bg = F.greatest(F.size("toks") - 1, F.lit(0))
+    bigrams = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, n_bg),
+                F.slice("toks", 2, n_bg),
+                lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.x").alias("x"), F.col("bg.y").alias("y"))
+    uni = (
+        docs.select(F.explode(tokens_col()).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("w")).select("w")
+    bg_counts = (
+        bigrams.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    cx = uni.select(F.col("t").alias("x"), F.col("c").alias("c_x"))
+    cy = uni.select(F.col("t").alias("y"), F.col("c").alias("c_y"))
+    scored = (
+        bg_counts.join(cx, "x")
+        .join(cy, "y")
+        .join(F.broadcast(total))
+        .select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            "c_xy",
+            F.expr("(c_xy * w * 10000L) div (c_x * c_y)").alias("pmi10k"),
+        )
+    )
+    w_rank = Window.orderBy(F.desc("pmi10k"), F.asc("bigram"))
+    return scored.withColumn("rk", F.row_number().over(w_rank)).filter(
+        F.col("rk") <= top_n
+    )

@@ -659,3 +659,137 @@ def test_pack_sequences_respects_budget_and_order(spark):
         assert seqs == sorted(seqs)
     again = pack_sequences(docs, budget=100).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_sqrt_mixture_sample_quota_between_balanced_and_full(spark):
+    """Temperature-0.5 quota is floor(sqrt(n_i * min_n)): the geometric
+    mean of the balanced (min_n) and proportional (n_i) mixtures —
+    min_n <= quota_i <= n_i, exact for the smallest stratum, and the
+    sample is deterministic across runs."""
+    import math
+
+    from iyp_spark.ops.sampling import sqrt_mixture_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    counts = {r["lang"]: r["count"]
+              for r in docs.groupBy("lang").count().collect()}
+    min_n = min(counts.values())
+    a = sqrt_mixture_sample(docs).collect()
+    kept = {}
+    for r in a:
+        kept.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert r["quota"] == math.floor(math.sqrt(counts[r["lang"]] * min_n))
+    for lang, ids in kept.items():
+        q = math.floor(math.sqrt(counts[lang] * min_n))
+        assert len(ids) == min(q, counts[lang])
+        assert min_n <= q <= max(counts[lang], min_n)
+    b = sqrt_mixture_sample(docs).collect()
+    assert sorted((r["doc_id"], r["lang"]) for r in a) == \
+        sorted((r["doc_id"], r["lang"]) for r in b)
+
+
+def test_tfidf_top_terms_matches_python_reference(spark):
+    """Integer fixed-point TF-IDF against a straight-line Python oracle:
+    same tokenization, same basis-point idf, same (score desc, term asc)
+    top-3 per document."""
+    from collections import Counter
+
+    from iyp_spark.ops.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    rows = {(r["doc_id"], r["rk"]): (r["term"], r["tf"], r["df"],
+                                     r["tfidf_scaled"])
+            for r in tfidf_top_terms(docs, k=3).collect()}
+
+    raw = {r["doc_id"]: [t for t in r["text"].lower().split() if t]
+           for r in docs.collect()}
+    n_docs = len(raw)
+    df = Counter()
+    for toks in raw.values():
+        df.update(set(toks))
+    for doc_id, toks in raw.items():
+        if not toks:
+            continue
+        tf = Counter(toks)
+        scored = sorted(
+            ((-(c * ((n_docs * 10000) // df[t])), t, c) for t, c in tf.items())
+        )[:3]
+        for rk, (neg_score, t, c) in enumerate(scored, start=1):
+            assert rows[(doc_id, rk)] == (t, c, df[t], -neg_score), \
+                (doc_id, rk)
+
+
+def test_pmi_collocations_matches_python_reference(spark):
+    """PMI lift against a straight-line Python oracle on a corpus with a
+    planted collocation: 'zxq qzx' occurs often together and rarely apart,
+    so it must outrank frequent-but-independent pairs."""
+    from collections import Counter
+
+    from iyp_spark.ops.text import pmi_collocations
+
+    texts = (
+        ["zxq qzx filler"] * 6
+        + ["the cat sat on the mat"] * 10
+        + ["the dog sat on the rug"] * 10
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [(r["bigram"], r["c_xy"], r["pmi10k"], r["rk"])
+           for r in pmi_collocations(docs, min_count=5, top_n=5).collect()]
+
+    uni = Counter()
+    bg = Counter()
+    for t in texts:
+        toks = t.lower().split()
+        uni.update(toks)
+        bg.update(zip(toks, toks[1:]))
+    w = sum(uni.values())
+    scored = sorted(
+        (-(c * w * 10000 // (uni[x] * uni[y])), f"{x} {y}", c)
+        for (x, y), c in bg.items() if c >= 5
+    )[:5]
+    want = [(bgm, c, -negp, rk)
+            for rk, (negp, bgm, c) in enumerate(scored, start=1)]
+    assert got == want
+    # the planted rare-word collocations outrank the frequent-but-
+    # independent pairs ("zxq qzx" and "qzx filler" tie on lift — all
+    # three words have count 6 — and the text tiebreak orders them)
+    assert {got[0][0], got[1][0]} == {"zxq qzx", "qzx filler"}
+    assert got[0][2] > got[2][2]
+
+
+def test_decode_audio_real_wav_and_stub_fallback(spark):
+    """The RIFF/WAVE parser reads real header bytes (hand-built PCM WAV:
+    2ch 44.1kHz 16-bit, 441 frames) including a LIST chunk before fmt and
+    odd-length word-aligned chunks; non-WAV payloads take the stub branch."""
+    import struct as st
+
+    from iyp_spark.ops.multimodal import decode_audio
+
+    def wav(channels, rate, bits, n_frames, pre_chunks=b""):
+        data = b"\x00" * (n_frames * channels * (bits // 8))
+        fmt = st.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * bits // 8,
+                      channels * bits // 8, bits)
+        body = (pre_chunks
+                + b"fmt " + st.pack("<I", len(fmt)) + fmt
+                + b"data" + st.pack("<I", len(data)) + data)
+        return b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    odd = b"LIST" + st.pack("<I", 5) + b"INFOx" + b"\x00"  # odd, padded
+    rows = spark.createDataFrame(
+        [(1, wav(2, 44100, 16, 441)),
+         (2, wav(1, 16000, 8, 160, pre_chunks=odd)),
+         (3, b"not audio at all")],
+        "doc_id long, payload binary")
+    got = {r["doc_id"]: r.asDict() for r in decode_audio(rows).collect()}
+
+    assert got[1]["container"] == "wav"
+    assert (got[1]["n_channels"], got[1]["sample_rate_hz"],
+            got[1]["bits_per_sample"], got[1]["n_samples"]) == (2, 44100, 16, 441)
+    assert got[1]["duration_ms"] == 441 * 1000 // 44100
+    assert got[2]["container"] == "wav"
+    assert (got[2]["n_channels"], got[2]["sample_rate_hz"],
+            got[2]["bits_per_sample"], got[2]["n_samples"]) == (1, 16000, 8, 160)
+    assert got[3]["container"] == "stub"
+    assert got[3]["n_samples"] == len(b"not audio at all")
