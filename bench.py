@@ -52,6 +52,11 @@ HEADLINE = [
     "pagerank_cust_supp",
     "landmark_hops",
     "sssp_cheapest_3hop",
+    # round 5b: corpus-statistics + mixture ops
+    "tfidf_top_terms",
+    "pmi_collocations",
+    "mixture_sample_sqrt",
+    "multimodal_audio_meta",
 ]
 
 

@@ -1810,3 +1810,87 @@ def sssp_cheapest_3hop(spark, sf_dir):
                  F.expr("node div 2").cast("string")).alias("node"),
         "dist",
     )
+
+
+# =====================================================================
+# Round 5b: chunking, cross-doc n-gram duplication, LSH-bucketed ANN
+# =====================================================================
+@q("doc_chunk_overlap", f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+k AS (SELECT doc_id, toks, n,
+        CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 24 - 1) // 24 + 1 END AS kk
+      FROM d)
+SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+       CAST(ci * 24 + 1 AS INT) AS start_tok,
+       CAST(len(piece) AS INT) AS n_chunk_tokens,
+       array_to_string(piece, ' ') AS chunk_text
+FROM (SELECT doc_id, ci,
+             list_slice(toks, ci * 24 + 1, least(ci * 24 + 32, n)) AS piece
+      FROM k, UNNEST(range(0, kk)) AS u(ci))
+""")
+def doc_chunk_overlap(spark, sf_dir):
+    # Overlapping fixed-size chunking (32-token windows every 24 tokens):
+    # the long-context / retrieval-corpus sequence discipline next to
+    # doc_pack_sequences' concat-then-chunk. Chunk explosion is map-side
+    # (in-row sequence), zero shuffle.
+    from .ops.packing import chunk_documents
+    return chunk_documents(tbl(spark, sf_dir, "documents"), chunk=32, stride=24)
+
+
+@q("doc_dup_ngram_fraction", f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+gr AS (SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+       FROM t WHERE len(toks) >= 3),
+dc AS (SELECT g, COUNT(*) AS nd FROM gr GROUP BY g)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST((SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 10000)
+            // COUNT(*) AS BIGINT) AS dup_bp
+FROM gr JOIN dc USING (g) GROUP BY doc_id
+""")
+def doc_dup_ngram_fraction(spark, sf_dir):
+    # Cross-document duplicated-trigram share in basis points — the
+    # boilerplate/template signal corpus filters threshold on (catches
+    # copied spans that never cross a per-pair MinHash Jaccard bar).
+    from .ops.dedup import dup_ngram_fraction
+    return dup_ngram_fraction(tbl(spark, sf_dir, "documents"), n=3)
+
+
+@q("ann_lsh_topk", """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+proj AS (
+  SELECT vec_id, b,
+    SUM(CAST(FLOOR(vec[i] *
+          (CASE WHEN CAST(FLOOR((1103515245*((i-1) + 97*b) + 12345) / 65536) AS BIGINT) % 2 = 0
+           THEN 1.0 ELSE -1.0 END) * 1000000.0) AS BIGINT)) AS p
+  FROM base, UNNEST(range(1, len(vec)+1)) AS t(i), UNNEST(range(0, 16)) AS bb(b)
+  GROUP BY vec_id, b),
+sig AS (
+  SELECT vec_id, CAST(b // 4 AS BIGINT) AS band,
+         CAST(SUM(CASE WHEN p >= 0 THEN CAST(POW(2, b % 4) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, b // 4),
+n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM base),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, x.vec_id AS n_id
+  FROM sig q JOIN sig x ON q.band = x.band AND q.bucket = x.bucket
+  WHERE q.vec_id < 10 AND x.vec_id <> q.vec_id),
+scored AS (
+  SELECT c.q_id, c.n_id,
+         list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
+  FROM cand c JOIN n a ON a.vec_id = c.q_id JOIN n b ON b.vec_id = c.n_id)
+SELECT q_id, n_id, FLOOR(cos * 1000000) / 1000000 AS cos, rn FROM (
+  SELECT q_id, n_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS INT) AS rn
+  FROM scored) WHERE rn <= 5
+""")
+def ann_lsh_topk(spark, sf_dir):
+    # LSH-bucketed cosine top-k: the bucket-join ANN scale path beside
+    # IVF — sign-LSH band probe (broadcast query side), exact cosine on
+    # candidates only, one rank window. Recall tunes via bands/bits.
+    from .ops.similarity import lsh_topk
+    return lsh_topk(tbl(spark, sf_dir, "embeddings"),
+                    n_queries=10, k=5, bands=4, bits=4)

@@ -474,3 +474,54 @@ def embedding_neardup_pairs(emb: DataFrame,
             (F.floor(F.col("cos") * 1000000) / 1000000).alias("cos"),
         )
     )
+
+
+def dup_ngram_fraction(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Cross-document duplicated n-gram fraction — the corpus-level twin of
+    the within-doc repetition stats (ops.text.repetition_stats): for each
+    document, the share of its DISTINCT word n-grams that also occur in at
+    least one OTHER document. This is the quality/contamination signal
+    large-corpus filtering pipelines threshold on (a high shared-n-gram
+    share marks boilerplate / templated / copied text that per-pair MinHash
+    may miss when no single pair crosses the Jaccard bar).
+
+    Returns (doc_id, n_ngrams, n_shared, dup_bp) where dup_bp =
+    (n_shared * 10000) div n_ngrams — basis points, BIGINT-exact in any
+    engine. Docs with fewer than ``n`` tokens emit nothing.
+
+    Scale: n-grams are assembled map-side from an in-row sequence (no
+    self-join); the per-n-gram document count is ONE map-side-combinable
+    groupBy on the n-gram (distinct-per-doc first, also map-side
+    partial); the membership join keys on the n-gram string and the final
+    per-doc aggregate is combinable. Hot n-grams (stopword runs) are
+    bounded because the doc-count side has ONE row per n-gram — the join
+    fans out only to the documents that contain it, which is the output
+    size anyway; AQE skew-split handles a pathological boilerplate
+    n-gram."""
+    toks = docs.select("doc_id", tokens_col().alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {n}), "
+                f"i -> concat_ws(' ', {', '.join(f'toks[i + {j}]' for j in range(n))}))"
+            )
+        ).alias("g"),
+    ).distinct()
+    doc_count = grams.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        grams.join(doc_count, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_shared",
+            F.expr("(n_shared * 10000L) div n_ngrams").alias("dup_bp"),
+        )
+    )

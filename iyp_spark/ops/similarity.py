@@ -410,3 +410,81 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("q_id", "n_id", "cell", trunc6(F.col("cos")).alias("cos"))
     )
+
+
+def _lsh_bands(emb: DataFrame, bands: int, bits: int) -> DataFrame:
+    """(vec_id, vec, nrm, band, bucket) — one row per (vector, band) with
+    the band's ``bits``-bit sign-LSH bucket key. Reuses the deterministic
+    integer-quantized hyperplane projection from ops.dedup (LCG-derived ±1
+    hyperplanes, per-term 1e-6 floor quantization so the fold is exact
+    integer addition — engine-independent bucket keys)."""
+    from .dedup import _emb_projection
+
+    n_bits = bands * bits
+    sig = with_norm(emb).select(
+        "vec_id", "vec", "nrm",
+        *[(_emb_projection(b) >= 0).cast("int").alias(f"s{b}")
+          for b in range(n_bits)],
+    )
+    band_cols = [
+        sum(F.col(f"s{g * bits + j}") * F.lit(1 << j) for j in range(bits))
+        .cast("long").alias(f"band{g}")
+        for g in range(bands)
+    ]
+    sig = sig.select("vec_id", "vec", "nrm", *band_cols)
+    return sig.select(
+        "vec_id", "vec", "nrm",
+        F.expr(
+            "stack(%d, %s) as (band, bucket)"
+            % (bands, ", ".join(f"{g}, band{g}" for g in range(bands)))
+        ),
+    )
+
+
+def lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+             bands: int = 4, bits: int = 4) -> DataFrame:
+    """LSH-bucketed approximate cosine top-k — the bucket-join scale path
+    that complements IVF: query vectors (vec_id < n_queries) join the
+    corpus only inside matching (band, bucket) sign-LSH cells, candidates
+    get EXACT cosine, and the per-query top-k ranks only the candidate
+    set. Recall is the standard 1-(1-cos^bits)^bands LSH trade — widen
+    ``bands`` (more candidates) or shrink ``bits`` (coarser cells) to
+    raise it; precision of returned scores is exact.
+
+    Returns (q_id, n_id, cos, rn) with rn <= k over the candidate set
+    (fewer than k rows for a query whose buckets are sparse — that
+    sparsity IS the approximation, documented rather than padded).
+
+    Scale at 10^9+ vectors: projections are map-side codegen (no
+    shuffle); the query side is Q × bands rows — broadcast — so the
+    bucket probe is a map-side hash join against the corpus scan;
+    candidates per query ≈ bands × N / 2^bits, tuned by ``bits``; the
+    only exchange is the final top-k rank window keyed by q_id."""
+    sig = _lsh_bands(emb, bands=bands, bits=bits)
+    q = sig.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("qv"),
+        F.col("nrm").alias("qn"), "band", "bucket",
+    )
+    cand = (
+        F.broadcast(q)
+        .join(
+            sig.select(
+                F.col("vec_id").alias("n_id"), F.col("vec").alias("nv"),
+                F.col("nrm").alias("nn"), "band", "bucket",
+            ),
+            ["band", "bucket"],
+        )
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", "qv", "qn", "nv", "nn")
+        .distinct()
+    )
+    w_rank = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        cand.withColumn(
+            "cos", _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", trunc6(F.col("cos")).alias("cos"),
+                F.col("rn").cast("int").alias("rn"))
+    )

@@ -793,3 +793,114 @@ def test_decode_audio_real_wav_and_stub_fallback(spark):
             got[2]["bits_per_sample"], got[2]["n_samples"]) == (1, 16000, 8, 160)
     assert got[3]["container"] == "stub"
     assert got[3]["n_samples"] == len(b"not audio at all")
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    """Overlap chunking against a straight-line reference: windows of 4
+    every 3 tokens, short tail kept, single-chunk and empty docs handled."""
+    from iyp_spark.ops.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"),   # 10 toks -> K = (10-4+2)//3+1 = 3
+         (2, "x y"),                   # 2 toks  -> K = 1
+         (3, "   "),                   # empty after filter -> no rows
+         (4, "p q r s")],              # exactly chunk -> K = 1
+        "doc_id long, text string")
+    rows = {(r["doc_id"], r["chunk_idx"]): r.asDict()
+            for r in chunk_documents(docs, chunk=4, stride=3).collect()}
+
+    def ref(toks, chunk, stride):
+        n = len(toks)
+        k = 1 if n <= chunk else (n - chunk + stride - 1) // stride + 1
+        return [(ci, ci * stride + 1,
+                 toks[ci * stride:ci * stride + chunk]) for ci in range(k)]
+
+    for doc_id, text in [(1, "a b c d e f g h i j"), (2, "x y"),
+                         (4, "p q r s")]:
+        toks = text.split()
+        want = ref(toks, 4, 3)
+        got_k = [k for k in rows if k[0] == doc_id]
+        assert len(got_k) == len(want)
+        for ci, start, piece in want:
+            r = rows[(doc_id, ci)]
+            assert r["start_tok"] == start
+            assert r["n_chunk_tokens"] == len(piece)
+            assert r["chunk_text"] == " ".join(piece)
+    assert not [k for k in rows if k[0] == 3]
+
+
+def test_dup_ngram_fraction_planted_boilerplate(spark):
+    """Docs sharing a planted trigram run score high dup_bp; a unique doc
+    scores 0; a doc below n tokens emits nothing."""
+    from iyp_spark.ops.dedup import dup_ngram_fraction
+
+    boiler = "all rights reserved contact us today"
+    docs = spark.createDataFrame(
+        [(1, boiler + " alpha beta"),
+         (2, boiler + " gamma delta"),
+         (3, "totally unique text with no overlap whatsoever"),
+         (4, "too short")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in dup_ngram_fraction(docs, n=3).collect()}
+
+    # straight-line reference
+    from collections import Counter
+    tris = {}
+    for doc_id, text in [(1, boiler + " alpha beta"),
+                         (2, boiler + " gamma delta"),
+                         (3, "totally unique text with no overlap whatsoever")]:
+        t = text.lower().split()
+        tris[doc_id] = {" ".join(t[i:i+3]) for i in range(len(t) - 2)}
+    cnt = Counter(g for s in tris.values() for g in s)
+    for doc_id, s in tris.items():
+        shared = sum(1 for g in s if cnt[g] >= 2)
+        assert got[doc_id]["n_ngrams"] == len(s)
+        assert got[doc_id]["n_shared"] == shared
+        assert got[doc_id]["dup_bp"] == shared * 10000 // len(s)
+    assert 4 not in got
+    assert got[1]["dup_bp"] > 5000 > got[3]["dup_bp"] == 0
+
+
+def test_lsh_topk_recalls_true_near_duplicates(spark):
+    """LSH top-k ranks exactly, returns exact cosines, and recalls the
+    TRUE high-cosine neighbors: on the mutant-augmented corpus (exact
+    copies + 0.99993-cos perturbations) every query's exact copy is
+    rank 1 and the near-mutants are found — the recall LSH promises is
+    for high-cosine pairs, not for the ~0.1-cos 'top' neighbors of
+    i.i.d. random vectors."""
+    from pyspark.sql import functions as F
+
+    from iyp_spark.ops.dedup import emb_with_mutants
+    from iyp_spark.ops.similarity import cosine_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb_with_mutants(emb).select(
+        "vec_id", F.col("vec").alias("embedding"))
+    bf = {(r["q_id"], r["n_id"]): (r["cos"], r["rn"])
+          for r in cosine_topk(corpus, n_queries=10, k=5).collect()}
+    ls = [(r["q_id"], r["n_id"], r["cos"], r["rn"])
+          for r in lsh_topk(corpus, n_queries=10, k=5,
+                            bands=4, bits=4).collect()]
+
+    # per-query rank is dense from 1 and descending in cos
+    by_q = {}
+    for q_id, n_id, cos, rn in ls:
+        by_q.setdefault(q_id, {})[rn] = (n_id, cos)
+    for q_id, rows in by_q.items():
+        rks = sorted(rows)
+        assert rks == list(range(1, len(rks) + 1))
+        cs = [rows[r][1] for r in rks]
+        assert all(cs[i] >= cs[i + 1] for i in range(len(cs) - 1))
+    # returned cosines are EXACT (equal to brute force on shared pairs)
+    for q_id, n_id, cos, rn in ls:
+        if (q_id, n_id) in bf:
+            assert cos == bf[(q_id, n_id)][0]
+    # exact copies (identical vectors -> identical buckets) are always
+    # recalled at rank 1 with cos 1.0
+    for q in (0, 5):
+        assert by_q[q][1] == (q + 100000, 1.0)
+    # 0.99993-cos perturbed mutants land in the same 4-bit buckets
+    found = {(q_id, n_id) for q_id, n_id, _, _ in ls}
+    for q in (0, 7):
+        assert (q, q + 200000) in found
