@@ -57,6 +57,9 @@ HEADLINE = [
     "pmi_collocations",
     "mixture_sample_sqrt",
     "multimodal_audio_meta",
+    "doc_chunk_overlap",
+    "doc_dup_ngram_fraction",
+    "ann_lsh_topk",
 ]
 
 
