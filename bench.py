@@ -60,6 +60,7 @@ HEADLINE = [
     "doc_chunk_overlap",
     "doc_dup_ngram_fraction",
     "ann_lsh_topk",
+    "corpus_quality_filter",
 ]
 
 

@@ -1894,3 +1894,35 @@ def ann_lsh_topk(spark, sf_dir):
     from .ops.similarity import lsh_topk
     return lsh_topk(tbl(spark, sf_dir, "embeddings"),
                     n_queries=10, k=5, bands=4, bits=4)
+
+
+@q("corpus_quality_filter", f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+q AS (SELECT doc_id, len(toks) AS n_tokens,
+             FLOOR((1.0 - len(list_filter(toks, x -> x IN ('the','a','of','and','in'))) / len(toks)
+                    + len(list_distinct(toks)) / len(toks)) / 2.0 * 10000) / 10000 AS quality
+      FROM t),
+lg AS (SELECT doc_id,
+              CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+                   WHEN de >= fr AND de > 0 THEN 'de'
+                   WHEN fr > 0 THEN 'fr'
+                   ELSE 'unknown' END AS lang_guess
+       FROM (SELECT doc_id,
+                    len(list_filter(toks, x -> x IN ('the','a','of'))) AS en,
+                    len(list_filter(toks, x -> x IN ('der','die','das'))) AS de,
+                    len(list_filter(toks, x -> x IN ('le','la','les'))) AS fr
+             FROM t)),
+fp AS (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM t),
+rep AS (SELECT fp, MIN(doc_id) AS rep_id FROM fp GROUP BY fp)
+SELECT q.doc_id, q.n_tokens, q.quality, lg.lang_guess
+FROM q JOIN lg USING (doc_id)
+       JOIN fp USING (doc_id) JOIN rep ON fp.fp = rep.fp AND fp.doc_id = rep.rep_id
+WHERE q.n_tokens >= 10 AND q.quality >= 0.5 AND lg.lang_guess <> 'unknown'
+""")
+def corpus_quality_filter(spark, sf_dir):
+    # The composed C4/Gopher-style "keep set": length floor + quality floor
+    # + lang gate + exact-dup representative, one shuffle total (the
+    # fingerprint min-id aggregate); every signal reuses an operator that
+    # is independently oracle-checked above.
+    from .ops.filtering import quality_filter
+    return quality_filter(tbl(spark, sf_dir, "documents"))

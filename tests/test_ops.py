@@ -904,3 +904,24 @@ def test_lsh_topk_recalls_true_near_duplicates(spark):
     found = {(q_id, n_id) for q_id, n_id, _, _ in ls}
     for q in (0, 7):
         assert (q, q + 200000) in found
+
+
+def test_quality_filter_rule_stack(spark):
+    """Each rule drops its planted offender and only the min-id exact-dup
+    representative survives."""
+    from iyp_spark.ops.filtering import quality_filter
+
+    good = ("the quick brown fox jumps over a lazy dog while many other "
+            "curious animals watch quietly from the forest edge today")
+    docs = spark.createDataFrame(
+        [(1, good),
+         (2, "the of a short"),                          # < 10 tokens
+         (3, "the the the the the the the the the the the the"),  # low quality
+         (4, "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp"),       # unknown lang
+         (5, good),                                       # exact dup of 1
+         (6, good + " extra")],                           # near but not exact
+        "doc_id long, text string")
+    kept = {r["doc_id"]: r.asDict() for r in quality_filter(docs).collect()}
+    assert set(kept) == {1, 6}
+    assert kept[1]["lang_guess"] == "en"
+    assert kept[1]["n_tokens"] >= 10 and kept[1]["quality"] >= 0.5
