@@ -272,3 +272,66 @@ def sessionized_user_activity(
         .start()
     )
     query.awaitTermination()
+
+
+def stream_stream_attribution(
+    spark: SparkSession, imp_dir: str, clk_dir: str,
+    out_dir: str, checkpoint_dir: str,
+    horizon: str = "1 hour", late: str = "2 hours",
+) -> None:
+    """Watermarked STREAM-STREAM inner join — the last §2.9 operator
+    class: per-user click attribution, joining a click stream to the
+    impression stream that preceded it within ``horizon``. Both sides are
+    unbounded; the equi-key (user_id) plus the event-time range condition
+    plus BOTH watermarks are what let the engine discard impression state
+    once no future click can match it — the bounded-state contract that a
+    batch join cannot give on infinite inputs.
+
+    Append mode emits each (impression, click) match exactly once, when
+    the engine can prove no earlier emit was possible; rows later than
+    ``late`` behind their stream's max event time are dropped.
+
+    Scale path: both streams hash-partition on user_id, so the join is
+    co-partitioned state lookup (no re-shuffle per micro-batch beyond the
+    initial exchange); state size ~ impressions in the horizon window per
+    active user — independent of stream length.
+    """
+    imp = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(imp_dir)
+        .withWatermark("ts", late)
+        .select(F.col("user_id"), F.col("ts").alias("imp_ts"),
+                F.col("value").alias("imp_value"))
+    )
+    clk = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(clk_dir)
+        .withWatermark("ts", late)
+        .select(F.col("user_id").alias("clk_user"),
+                F.col("ts").alias("clk_ts"),
+                F.col("value").alias("clk_value"))
+    )
+    joined = imp.join(
+        clk,
+        F.expr(
+            f"user_id = clk_user AND "
+            f"clk_ts >= imp_ts AND clk_ts <= imp_ts + interval {horizon}"
+        ),
+        "inner",
+    ).select(
+        "user_id", "imp_ts", "clk_ts",
+        (F.unix_timestamp("clk_ts") - F.unix_timestamp("imp_ts"))
+        .alias("delay_s"),
+        "imp_value", "clk_value",
+    )
+    query = (
+        joined.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .start()
+    )
+    query.awaitTermination()

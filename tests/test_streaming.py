@@ -326,3 +326,80 @@ def test_session_windows_merge_and_finalize(spark):
         assert run() == {(1, "00:00", "00:40"): 2, (2, "05:00", "05:30"): 1}
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_stream_attribution_join(spark):
+    """Watermarked stream-stream inner join: clicks attribute to the
+    impression within the 1h horizon; out-of-horizon clicks never match;
+    a click behind the watermark is dropped; re-runs append only NEW
+    matches (exactly-once across AvailableNow restarts)."""
+    import datetime as dt
+    import glob
+
+    from iyp_spark.streaming import EVENTS_SCHEMA, stream_stream_attribution
+
+    base = tempfile.mkdtemp(prefix="iyp_stream5_")
+
+    def t(h, m):
+        return dt.datetime(2026, 1, 1, h, m)
+
+    def drop(side, rows, part):
+        df = spark.createDataFrame(
+            [(i, ts, uid, side, 1.0, "{}") for i, (uid, ts) in enumerate(rows)],
+            EVENTS_SCHEMA,
+        )
+        stage = os.path.join(base, f"stage_{side}_{part}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        os.makedirs(os.path.join(base, side), exist_ok=True)
+        shutil.move(
+            glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+            os.path.join(base, side, f"{part}.parquet"),
+        )
+
+    def run():
+        stream_stream_attribution(
+            spark, os.path.join(base, "imp"), os.path.join(base, "clk"),
+            os.path.join(base, "out"), os.path.join(base, "cp"),
+        )
+        out = os.path.join(base, "out")
+        if not [f for f in os.listdir(out) if f.endswith(".parquet")]:
+            return set()
+        return {
+            (r["user_id"], r["imp_ts"].minute + 60 * r["imp_ts"].hour,
+             r["clk_ts"].minute + 60 * r["clk_ts"].hour, r["delay_s"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    try:
+        # impressions for users 1 and 2 at 00:00; clicks: u1 at 00:30
+        # (match), u1 at 02:30 (outside 1h horizon), u2 at 00:20 (match)
+        drop("imp", [(1, t(0, 0)), (2, t(0, 0))], "p1")
+        drop("clk", [(1, t(0, 30)), (1, t(2, 30)), (2, t(0, 20))], "p1")
+        got1 = run()
+        assert got1 == {(1, 0, 30, 1800), (2, 0, 20, 1200)}
+
+        # a late click still matches while the impression state lives:
+        # the GLOBAL watermark is min over both streams (imp max is 00:00,
+        # so wm < 0) — that is the documented join-state contract
+        drop("clk", [(2, t(0, 40)), (1, t(0, 10))], "p2")
+        got2 = run()
+        assert got2 == got1 | {(2, 0, 40, 2400), (1, 0, 10, 600)}
+
+        # advance BOTH watermarks to 04:00 (events at 06:00, late = 2h):
+        # impressions at 00:00 can only match clicks <= 01:00 < wm, so
+        # their state is EVICTED after this batch (the bounded-state
+        # guarantee); the 06:00 imp+clk pair itself matches with delay 0
+        drop("imp", [(9, t(6, 0))], "p2")
+        drop("clk", [(9, t(6, 0))], "p3")
+        got3 = run()
+        assert got3 == got2 | {(9, 360, 360, 0)}
+
+        # state gone + input behind the watermark: an old click for the
+        # 00:00 impression can never match again
+        drop("clk", [(1, t(0, 50))], "p4")
+        assert run() == got3
+
+        # idempotent re-run with nothing new
+        assert run() == got3
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
