@@ -61,6 +61,7 @@ HEADLINE = [
     "doc_dup_ngram_fraction",
     "ann_lsh_topk",
     "corpus_quality_filter",
+    "kcore_cosupply",
 ]
 
 

@@ -1926,3 +1926,45 @@ def corpus_quality_filter(spark, sf_dir):
     # is independently oracle-checked above.
     from .ops.filtering import quality_filter
     return quality_filter(tbl(spark, sf_dir, "documents"))
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    # Unrolled bounded-peel recurrence — the same fixed-round discipline
+    # as the pagerank_integer oracle (fixpoint oracles don't exist in
+    # plain SQL; bounded rounds are deterministic in both engines, and the
+    # Spark side's early exit changes nothing once converged).
+    # AS MATERIALIZED is load-bearing: each e{r} is referenced twice
+    # (d{r+1} and e{r+1}), so plain CTEs inline into a 2^rounds-size
+    # expression tree — measured 0.19s at 2 rounds vs minutes at 8.
+    sql = """WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48) a
+  JOIN (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+d{r} AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e{r-1} GROUP BY src),
+n{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k}),
+e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r-1} e
+         JOIN n{r} a ON e.src = a.node JOIN n{r} b ON e.dst = b.node)"""
+    sql += (f"\nSELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg "
+            f"FROM e{rounds} GROUP BY src")
+    return sql
+
+
+@q("kcore_cosupply", _kcore_oracle(k=3, rounds=8))
+def kcore_cosupply(spark, sf_dir):
+    # §2.11 graph metric: the 3-core of the co-supply graph (suppliers
+    # sharing a hot order) after <= 8 synchronous peel rounds — the dense
+    # backbone that survives when marginal suppliers are peeled away.
+    from .graph.metrics import k_core
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return k_core(edges, k=3, rounds=8)

@@ -185,3 +185,44 @@ def weighted_sssp(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def k_core(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
+    """Bounded k-core peeling over undirected symmetric (src, dst) edges:
+    ``rounds`` synchronous peel rounds, each dropping every node whose
+    degree in the surviving subgraph is < k. Returns (node, deg) — all
+    surviving nodes with their degree in the subgraph after the last
+    round (== the true k-core whenever peeling converges within
+    ``rounds``; the loop exits early at the fixpoint, so extra budget
+    costs nothing on converged graphs).
+
+    Bounded-round semantics are the point: "survivors after R synchronous
+    peels" is a deterministic quantity BOTH engines can compute, so the
+    DuckDB oracle is the same recurrence unrolled — no fixpoint oracle
+    needed (the same discipline as pagerank_integer's fixed iterations
+    and weighted_sssp's bounded hops).
+
+    Scale: each round is one map-side-combinable degree count + one
+    semi-join of the edge list against the survivor set on src and dst
+    (both hash-partitioned on node id); localCheckpoint per round keeps
+    lineage linear. Rounds needed = peeling depth (degeneracy ordering
+    layers), typically small; raise ``rounds`` for adversarial chains —
+    the early exit makes the budget free on real graphs."""
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    n_edges = e.count()
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        surv = deg.filter(F.col("deg") >= k).select(F.col("src").alias("node"))
+        e = (
+            e.join(surv.withColumnRenamed("node", "src"), "src")
+            .join(surv.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n_now = e.count()
+        if n_now == n_edges:
+            break
+        n_edges = n_now
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )

@@ -406,3 +406,42 @@ def test_graph_distance_ops_match_python_reference_on_random_graphs(spark):
             ).collect()
         }
         assert got_sssp == ref_sssp, f"sssp mismatch on trial {trial}"
+
+
+def test_k_core_peels_to_python_reference(spark):
+    """Bounded k-core matches a straight-line Python peel on a planted
+    graph: a 4-clique (3-core) with pendant chains that peel away over
+    MULTIPLE rounds (the chain forces >1 peel round), plus a seeded
+    random graph cross-check."""
+    import random
+
+    from iyp_spark.graph.metrics import k_core
+
+    def py_kcore(pairs, k, rounds):
+        adj = {}
+        for s, d in pairs:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        for _ in range(rounds):
+            drop = {n for n, ns in adj.items() if len(ns) < k}
+            if not drop:
+                break
+            adj = {n: ns - drop for n, ns in adj.items() if n not in drop}
+        return {n: len(ns) for n, ns in adj.items() if ns}
+
+    def run(pairs, k, rounds):
+        sym = [(s, d) for s, d in pairs] + [(d, s) for s, d in pairs]
+        edges = spark.createDataFrame(sorted(set(sym)), ["src", "dst"])
+        return {r["node"]: r["deg"] for r in k_core(edges, k=k, rounds=rounds).collect()}
+
+    # 4-clique 1-2-3-4, chain 4-10-11-12 (each chain node deg<3 in turn)
+    clique = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    planted = clique + [(4, 10), (10, 11), (11, 12)]
+    assert run(planted, 3, 8) == py_kcore(planted, 3, 8) \
+        == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    rng = random.Random(47)
+    pairs = {(rng.randrange(40), rng.randrange(40)) for _ in range(160)}
+    pairs = [(s, d) for s, d in pairs if s != d]
+    for k in (2, 4):
+        assert run(pairs, k, 8) == py_kcore(pairs, k, 8)
