@@ -4,26 +4,22 @@ quality floor, language-ID gate, and exact-duplicate representative
 selection, in ONE DataFrame program.
 
 This is the filter stack web-scale corpus builds run between ingest and
-dedup/packing (the C4/Gopher/RefinedWeb-style rule pipeline): each signal
-is an existing vectorized operator (`ops.text`), so the whole filter is
-native column expressions + one fingerprint-keyed aggregate — no UDFs, no
-per-row Python, fully oracle-checkable.
-
-Scale: the three signal passes are map-side projections fused by Catalyst
-over ONE corpus scan each (a production build computes all signals in a
-single select — kept separate here so each stays independently
-oracle-checked); the only exchange is the fingerprint min-id aggregate
-(map-side-combinable groupBy on the md5 key, uniform by construction) and
-its join back, which AQE plans as a shuffle join on the same key — one
-shuffle total.
+dedup/packing (the C4/Gopher/RefinedWeb-style rule pipeline). The signals
+reuse the exact column expressions of the standalone operators in
+``ops.text`` (each independently oracle-checked), but are evaluated in a
+SINGLE projection over ONE corpus scan — so the whole filter is one
+map-side pass plus exactly ONE exchange: the fingerprint window that picks
+each exact-duplicate group's min-id representative. (The first version
+joined the three standalone operators on doc_id — 4 scans and 4 shuffles
+for the same rows; the plan fence below pins the collapsed shape.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import fingerprint, lang_guess, quality_score
+from .text import LANG_MARKERS, STOPWORDS_EN, _hits, tokens_col, trunc4
 
 
 def quality_filter(
@@ -41,19 +37,38 @@ def quality_filter(
       normalized-text md5 fingerprint group survives.
 
     Returns (doc_id, n_tokens, quality, lang_guess) for kept docs.
+
+    Scale: one corpus scan, every signal map-side (whole-stage codegen);
+    the single exchange is the fingerprint-partitioned min window — md5
+    keys are uniform by construction, so no skew handling is needed.
     """
-    q = quality_score(docs).select("doc_id", "n_tokens", "quality")
-    lg = lang_guess(docs).select("doc_id", "lang_guess")
-    fp = fingerprint(docs).select("doc_id", "fp")
-    rep = fp.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
-    kept_rep = fp.join(rep, "fp").filter(
-        F.col("doc_id") == F.col("rep_id")
-    ).select("doc_id")
+    n = F.size("toks")
+    stop_raw = _hits(STOPWORDS_EN) / n
+    ttr_raw = F.size(F.array_distinct("toks")) / n
+    hits = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
+    lang = (
+        F.when(
+            (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] > 0),
+            F.lit("en"),
+        )
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] > 0), F.lit("de"))
+        .when(hits["fr"] > 0, F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    sig = docs.select("doc_id", "text", tokens_col().alias("toks")).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        trunc4((F.lit(1.0) - stop_raw + ttr_raw) / F.lit(2.0)).alias("quality"),
+        lang.alias("lang_guess"),
+        fp.alias("fp"),
+    )
+    rep = F.min("doc_id").over(Window.partitionBy("fp"))
     return (
-        q.join(lg, "doc_id")
-        .join(kept_rep, "doc_id")
+        sig.withColumn("rep_id", rep)
         .filter(
-            (F.col("n_tokens") >= min_tokens)
+            (F.col("doc_id") == F.col("rep_id"))
+            & (F.col("n_tokens") >= min_tokens)
             & (F.col("quality") >= min_quality)
             & (F.col("lang_guess") != "unknown")
         )

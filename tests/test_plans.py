@@ -98,3 +98,16 @@ def test_no_per_row_python_in_entry_queries(spark, qname):
     plan = plan_of(QUERIES[qname](spark, "/root/testdata/sf0.001"))
     assert "BatchEvalPython" not in plan, f"{qname}: row-at-a-time Python UDF"
     assert "CartesianProduct" not in plan, f"{qname}: cartesian join"
+
+
+def test_quality_filter_plan_single_scan_single_exchange(spark):
+    """The composed rule stack must evaluate every signal in ONE
+    projection over ONE corpus scan (not re-join the standalone operators
+    on doc_id — 4 scans / 4 shuffles for the same rows); the only
+    exchange is the fingerprint-window picking the dup representative."""
+    from iyp_spark.entry_queries import QUERIES
+
+    plan = plan_of(QUERIES["corpus_quality_filter"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan
