@@ -200,8 +200,25 @@ def run_scaling(kg_scale: float, repeats: int = 3) -> dict:
     have_taskset = _sh.which("taskset") is not None
     runs: dict[int, list] = {2: [], 8: []}
 
+    # A wedged subprocess must not stall the whole bench: a rare pyspark
+    # daemon race can leave the JVM's Arrow reader blocked on a worker
+    # that died (observed in the wild: one executor thread in EPoll.wait
+    # on PythonArrowOutput, the daemon with zero worker children) — an
+    # un-timed subprocess.run then blocks FOREVER. A quiet 2-core run is
+    # ~450s; 2400s means something is wedged, not slow. The timed-out
+    # round is marked failed (= loud) and the replacement-round budget
+    # takes over; the whole process GROUP is killed so a leaked JVM can't
+    # pollute the next round's pinned CPUs.
+    run_timeout_s = int(os.environ.get("SPARK_GRAFT_SCALING_TIMEOUT", "2400"))
+
     def one_round(r: int) -> None:
+        round_failed = False
         for cores in (2, 8):
+            if round_failed:
+                # the matched pair is already unusable; don't burn
+                # another run_timeout_s on its partner
+                runs[cores].append({"failed": True, "cores": cores})
+                continue
             # REALLY pin the subprocess: without taskset a "local[2]" JVM
             # still runs GC/JIT/shuffle threads on every host core, which
             # inflates the low-parallelism baseline and understates the
@@ -213,16 +230,38 @@ def run_scaling(kg_scale: float, repeats: int = 3) -> dict:
             cmd = pin + [sys.executable, "-m", "iyp_spark.bench_scaling",
                          "--cores", str(cores), "--corpus", corpus,
                          "--lake", os.path.join(tmp, f"lake{cores}_{r}")]
-            proc = subprocess.run(
-                cmd, capture_output=True, text=True,
+            proc = subprocess.Popen(
+                cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, start_new_session=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
                 env={**os.environ, "IYP_SPARK_DRIVER_MEM": "24g"},
             )
-            line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+            try:
+                out, err = proc.communicate(timeout=run_timeout_s)
+            except subprocess.TimeoutExpired:
+                import signal
+
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+                proc.wait()
+                print(f"  scaling local[{cores}] run {r}: TIMED OUT after "
+                      f"{run_timeout_s}s (wedged worker?) — round marked "
+                      "loud", file=sys.stderr)
+                runs[cores].append({"failed": True, "cores": cores})
+                round_failed = True
+                continue
+            line = [ln for ln in out.splitlines() if ln.startswith("{")]
             if not line:
-                print(proc.stdout[-2000:], file=sys.stderr)
-                print(proc.stderr[-2000:], file=sys.stderr)
-                raise RuntimeError(f"scaling run at {cores} cores failed")
+                print(out[-2000:], file=sys.stderr)
+                print(err[-2000:], file=sys.stderr)
+                print(f"  scaling local[{cores}] run {r}: FAILED "
+                      f"(rc={proc.returncode}) — round marked loud",
+                      file=sys.stderr)
+                runs[cores].append({"failed": True, "cores": cores})
+                round_failed = True
+                continue
             res = json.loads(line[-1])
             print(f"  scaling local[{cores}] run {r}: {res}", file=sys.stderr)
             runs[cores].append(res)
@@ -233,7 +272,12 @@ def run_scaling(kg_scale: float, repeats: int = 3) -> dict:
     for r in range(repeats):
         one_round(r)
 
-    def eff_of(r: int) -> float:
+    def failed(r: int) -> bool:
+        return bool(runs[2][r].get("failed") or runs[8][r].get("failed"))
+
+    def eff_of(r: int) -> float | None:
+        if failed(r):
+            return None
         return round(
             (runs[8][r]["docs_per_sec"] / runs[2][r]["docs_per_sec"]) / 4.0, 3
         )
@@ -250,6 +294,8 @@ def run_scaling(kg_scale: float, repeats: int = 3) -> dict:
         1.0 in EITHER direction (the plan is work-conserving, so a pair
         whose 4N run burned wildly more — or less — CPU for identical work
         sampled a distorted window). The efficiency value plays no part."""
+        if failed(r):
+            return False
         for c in (2, 8):
             if runs[c][r].get("steal_fraction", 0.0) > 0.02:
                 return False
@@ -304,7 +350,11 @@ def run_scaling(kg_scale: float, repeats: int = 3) -> dict:
 
     eff_rounds = [eff_of(r) for r in range(n_rounds)]
     quiet_mask = [is_quiet(r) for r in range(n_rounds)]
-    quiet_rs = [r for r in range(n_rounds) if quiet_mask[r]] or list(range(n_rounds))
+    quiet_rs = ([r for r in range(n_rounds) if quiet_mask[r]]
+                or [r for r in range(n_rounds) if not failed(r)])
+    if not quiet_rs:
+        raise RuntimeError("every scaling round failed/timed out — no "
+                           "efficiency measurement possible")
     eff = round(statistics.median(eff_rounds[r] for r in quiet_rs), 3)
     # detail rows come from the quiet round closest to the median value
     med_r = min(quiet_rs, key=lambda r: abs(eff_rounds[r] - eff))
@@ -397,12 +447,61 @@ def _regressions(timings: dict[str, float], factor: float = 1.5,
     return out
 
 
+def _host_probe_ms() -> float:
+    """Fixed-work single-thread CPU probe: md5 over 256 MiB of zeros in
+    1 MiB chunks — identical work every call, no allocation in the loop,
+    no I/O. Recorded at the start AND end of the headline phase so a
+    degraded/drifting host window (co-tenant load, frequency throttling —
+    observed: the same query set 2x slower wall-clock with per-query
+    ratios varying 1.6-5.8x between two runs 40 min apart) is
+    self-describing in the artifact instead of reading as a code
+    regression. Compare probes ACROSS artifacts: absolute query seconds
+    only mean something between rounds whose probes match."""
+    import hashlib
+    import time as _t
+
+    buf = bytes(1024 * 1024)
+    h = hashlib.md5()
+    t0 = _t.perf_counter()
+    for _ in range(256):
+        h.update(buf)
+    return round((_t.perf_counter() - t0) * 1000, 1)
+
+
+def _md5_work(_arg: int) -> int:
+    import hashlib
+
+    buf = bytes(1024 * 1024)
+    h = hashlib.md5()
+    for _ in range(64):
+        h.update(buf)
+    return 1
+
+
+def _host_probe_mp_ms(n: int) -> float:
+    """Parallel twin of the probe: n processes each doing fixed md5 work.
+    The headline phase runs at local[32] where this host's capacity is the
+    volatile resource (BASELINE.md: 8→32 processes only ~2.3-2.6x even
+    quiet) — this records what the 32-wide window actually delivered."""
+    import multiprocessing as mp
+    import time as _t
+
+    t0 = _t.perf_counter()
+    with mp.Pool(n) as pool:
+        pool.map(_md5_work, range(n))
+    return round((_t.perf_counter() - t0) * 1000, 1)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
 
+    probe_start = _host_probe_ms()
+    probe_mp_start = _host_probe_mp_ms(cores)
     timings, build = run_headline(sf_dir, cores)
+    probe_end = _host_probe_ms()
+    probe_mp_end = _host_probe_mp_ms(cores)
     total = round(sum(timings.values()), 3)
 
     result = {
@@ -412,6 +511,9 @@ def main():
         "queries": timings,
         "build": build,
         "sf": sf,
+        "host_probe_ms": {"start": probe_start, "end": probe_end,
+                          "mp_start": probe_mp_start, "mp_end": probe_mp_end,
+                          "mp_procs": cores},
         "regressions": _regressions(timings),
     }
     # round-over-round comparability: the headline list grows as operators
@@ -476,6 +578,21 @@ def _write_bench_md(result: dict) -> None:
         "| query | sec |", "|---|---|",
     ]
     lines += [f"| {k} | {v} |" for k, v in result["queries"].items()]
+    hp = result.get("host_probe_ms")
+    if hp:
+        lines += [
+            "",
+            f"Host-speed probe (fixed-work md5; single-thread 256 MiB / "
+            f"{hp.get('mp_procs')}-process 64 MiB-each): "
+            f"**1T {hp['start']}→{hp['end']} ms, "
+            f"{hp.get('mp_procs')}P {hp.get('mp_start')}→{hp.get('mp_end')} "
+            "ms across the phase**. Absolute per-query seconds are only "
+            "comparable between "
+            "artifacts whose probes match; a slower probe marks a "
+            "degraded host window (co-tenant/throttling), not a code "
+            "regression — the scaling section's matched-pair ratio is "
+            "robust to this, raw wall-clock is not.",
+        ]
     if result.get("value_prev_round_queries") is not None:
         lines += [
             "",

@@ -31,8 +31,15 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cores), 8)
+    # local[N, 2]: ONE task retry. Local mode's default maxFailures=1
+    # turns a transient worker death into a job failure — observed in the
+    # wild as a pyspark Arrow worker dying with "Connection reset" and
+    # sinking an entire 8-minute scaling run. On a real cluster
+    # spark.task.maxFailures=4 is the default; one retry is the local
+    # stand-in (deterministic ops make retries result-invisible — the
+    # salted join's value-derived salt exists for exactly this reason).
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(f"local[{cores}, 2]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
