@@ -1481,7 +1481,9 @@ def bfs_reach_3hop(spark, sf_dir):
         p2s.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     seeds = spark.range(1).select(F.lit("P:1").alias("node"))
-    return bfs_reach(edges, seeds, max_hops=3)
+    # dedup_edges=False: same rationale as landmark_hops — min-hop BFS is
+    # duplicate-insensitive and lineitem pair multiplicity is ~1
+    return bfs_reach(edges, seeds, max_hops=3, dedup_edges=False)
 
 
 @q("alias_components", """
@@ -1743,7 +1745,11 @@ def landmark_hops(spark, sf_dir):
         p2s.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     seeds = spark.createDataFrame([(2,), (4,), (6,)], ["seed"])
-    out = multi_source_bfs(edges, seeds, max_hops=2)
+    # dedup_edges=False: lineitem's (partkey, suppkey) pairs are ~unique
+    # (600k rows -> 590k distinct pairs at sf0.1), so the defensive edge
+    # distinct inside the BFS was a full 1.2M-row shuffle removing 2% —
+    # min-hop BFS dedups per hop anyway, results identical
+    out = multi_source_bfs(edges, seeds, max_hops=2, dedup_edges=False)
     return out.select(
         F.concat(F.when(F.col("seed") % 2 == 0, F.lit("P:")).otherwise(F.lit("S:")),
                  F.expr("seed div 2").cast("string")).alias("seed"),
@@ -1804,7 +1810,11 @@ def sssp_cheapest_3hop(spark, sf_dir):
         pw.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
     seeds = spark.range(1).select(F.lit(2).cast("long").alias("node"))
-    out = weighted_sssp(edges, seeds, max_hops=3)
+    # edges_unique=True: pw is a groupBy(part, supp) output and the two
+    # union directions live in disjoint (even/odd) id spaces, so each
+    # directed edge appears exactly once — the operator's defensive
+    # re-normalization would shuffle 1.18M rows to change nothing
+    out = weighted_sssp(edges, seeds, max_hops=3, edges_unique=True)
     return out.select(
         F.concat(F.when(F.col("node") % 2 == 0, F.lit("P:")).otherwise(F.lit("S:")),
                  F.expr("node div 2").cast("string")).alias("node"),

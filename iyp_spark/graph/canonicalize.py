@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..ckpt import checkpoint_reset_stats
+
 ALIAS_PREDS = ["SIBLING_OF", "ALIAS_OF"]
 
 
@@ -37,78 +39,115 @@ def connected_components(edges: DataFrame, max_iter: int = 200,
     fixpoint the result is partial, which is a correctness bug for every
     caller (canonical ids would differ between runs of different depth) —
     so by default this RAISES rather than returning partial labels; pass
-    ``require_converged=False`` to get best-effort labels explicitly."""
-    sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    sym = sym.unionByName(
-        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().localCheckpoint(eager=True)
+    ``require_converged=False`` to get best-effort labels explicitly.
 
-    comp = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
+    Algorithm (r6 optimization — same output, far fewer rounds): min-label
+    propagation WITH GRAPH CONTRACTION between rounds, the classic
+    contraction CC family. Each level runs ONE propagate+jump step
+    (label(v) = min over v's closed neighborhood, then one pointer jump),
+    then CONTRACTS the graph — every edge is rewritten to connect the two
+    endpoints' labels, self-loops dropped, duplicates deduped — and the
+    next level runs on the (much smaller) quotient graph. The level label
+    tables compose back at the end (one left join per level, deepest
+    first). Compared to r5's flat propagate+jump loop this replaces
+    ~diameter/2 rounds with ~log(diameter) levels on random-id graphs
+    (measured on the sf0.1 alias graph's diameter-39 giant component:
+    19 rounds / ~135 Spark jobs / 5.7-6.4s warm -> 6 levels / ~71 jobs /
+    3.5-4.5s warm, labels bit-identical), and at cluster scale every
+    level's shuffle runs on a geometrically shrinking edge set instead of
+    the full one. The worst case (ids monotone along a long chain —
+    contraction merges only a constant number of nodes per level) degrades
+    to the same O(diameter) the old loop had, never worse.
+
+    Exactness: level-1 labels are member ids (min over a ball, then a
+    member's member id); the global min m of a component labels itself m,
+    so m survives as a quotient node at every level, the deepest level's
+    min IS m, and the composed label of every member is m — the same
+    (node_id, min member id) fixpoint as before. There is no convergence
+    aggregate any more: the quotient running out of edges IS the fixpoint
+    (each level with edges strictly merges labels), so the driver check
+    per level is one isEmpty on an already-materialized checkpoint.
+    Self-loop edges keep their node in the output labeled by itself
+    (they enter level 1's node set and contract away immediately)."""
+    e = checkpoint_reset_stats(
+        edges.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        ).distinct()
     )
-    prev_sum = None
+    level_labels: list[DataFrame] = []
     converged = False
     for _ in range(max_iter):
-        # candidate component = min over self and neighbors' comps
-        neighbor_comp = (
-            sym.join(comp, sym.b == comp.node)
-            .select(F.col("a").alias("node"), "comp")
+        if e.isEmpty():
+            converged = True
+            break
+        # propagate: label = min over the closed neighborhood, assembled
+        # from the (lo, hi) edge list without a symmetrized copy — the
+        # four union legs feed one map-side-combinable min groupBy
+        nodes = (
+            e.select(F.col("lo").alias("node"), F.col("lo").alias("comp"))
+            .unionByName(e.select(F.col("hi").alias("node"), F.col("hi").alias("comp")))
+            .unionByName(e.select(F.col("lo").alias("node"), F.col("hi").alias("comp")))
+            .unionByName(e.select(F.col("hi").alias("node"), F.col("lo").alias("comp")))
         )
-        propagated = (
-            comp.unionByName(neighbor_comp)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-        )
-        # pointer jumping (path compression): comp(v) <- comp(comp(v)).
-        # Every label is itself a node id of the same component (min over
-        # member labels / a member's label), so the lookup always hits, and
-        # labels stay monotonically decreasing member ids. Neighbor-min
-        # alone moves a component's min ONE hop per round (O(diameter));
-        # the jump advances a second hop, halving the rounds (measured on
-        # the sf0.1 alias graph's diameter-39 giant component: 39 -> 19
-        # rounds, 14.5s -> 8.4s). Applying the jump more than once per
-        # round buys nothing (the round's label chain collapses after one
-        # composition — verified empirically); sub-linear rounds would
-        # need large-star/small-star contraction, whose per-round cost is
-        # ~2x this round's, washing out at these diameters.
+        propagated = nodes.groupBy("node").agg(F.min("comp").alias("comp"))
+        # one pointer jump (comp(v) <- comp(comp(v))): halves the levels
+        # on chain-shaped graphs for one extra self-join (measured 10 -> 6
+        # levels on the sf0.1 alias graph); more jumps per level buy
+        # nothing (re-verified: 3 compositions left the count unchanged)
         parent = propagated.select(
             F.col("node").alias("comp"), F.col("comp").alias("jump")
         )
-        new_comp = (
+        lab = checkpoint_reset_stats(
             propagated.join(parent, "comp", "left")
-            .select(
-                "node",
-                F.coalesce("jump", "comp").alias("comp"),
-            )
-            # lazy: the convergence aggregate below materializes the
-            # checkpoint as a side effect — eager would burn one extra
-            # job per round
-            .localCheckpoint(eager=False)
+            .select("node", F.coalesce("jump", "comp").alias("comp"))
         )
-        # convergence: per-node labels only ever DECREASE under min-label
-        # propagation, so an unchanged global sum is a fixpoint — one tiny
-        # aggregate per round instead of a new-vs-old join + count. Summed
-        # as DECIMAL(38,0): real node ids are full-range xxhash64 longs, so
-        # a BIGINT sum overflows under ANSI mode (crashed on the 0.2-scale
-        # verify graph); decimal is exact to ~1e19 rows of |id|<=2^63.
-        cur_sum = new_comp.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)"))
-        ).collect()[0][0]
-        comp = new_comp
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
+        level_labels.append(lab)
+        # contract: rewrite every edge to its endpoints' labels; the
+        # quotient keeps canonical (lo <= hi) orientation and dedupes.
+        # Both checkpoints in this loop go through checkpoint_reset_stats:
+        # Spark's size-only stats visitor multiplies child estimates
+        # through joins and localCheckpoint carries origin stats, so a
+        # loop joining two iteration-dependent tables per level compounds
+        # the estimate's bit length geometrically (a 30-edge chain spent
+        # 40+ min in driver-side BigInteger products inside
+        # canBroadcastBySize before the reset; see iyp_spark/ckpt.py).
+        la = lab.select(F.col("node").alias("lo"), F.col("comp").alias("ca"))
+        lb = lab.select(F.col("node").alias("hi"), F.col("comp").alias("cb"))
+        e = checkpoint_reset_stats(
+            e.join(la, "lo")
+            .join(lb, "hi")
+            .select(
+                F.least("ca", "cb").alias("lo"), F.greatest("ca", "cb").alias("hi")
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+    else:
+        converged = e.isEmpty()
     if not converged and require_converged:
         raise RuntimeError(
             f"connected_components did not reach a fixpoint within "
             f"{max_iter} rounds — a component's diameter exceeds the "
             f"iteration budget; raise max_iter (labels would be PARTIAL)"
         )
-    return comp.select(F.col("node").alias("node_id"), F.col("comp").alias("component_id"))
+    if not level_labels:
+        # no edges at all: empty labeling (callers treat absent nodes as
+        # their own singleton components)
+        return edges.sparkSession.createDataFrame(
+            [], "node_id long, component_id long"
+        )
+    # compose the per-level quotient maps, deepest level first; nodes a
+    # deeper level never saw (their component finished contracting
+    # earlier) keep their current label via the coalesce
+    final = level_labels[-1]
+    for lab in reversed(level_labels[:-1]):
+        up = final.select(F.col("node").alias("comp"), F.col("comp").alias("f"))
+        final = lab.join(up, "comp", "left").select(
+            "node", F.coalesce("f", "comp").alias("comp")
+        )
+    return final.select(
+        F.col("node").alias("node_id"), F.col("comp").alias("component_id")
+    )
 
 
 def incremental_components(labels: DataFrame, new_edges: DataFrame,
@@ -222,7 +261,8 @@ def resolve_cname_chains(resolves: DataFrame, aliases: DataFrame,
     return out
 
 
-def bfs_reach(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
+def bfs_reach(edges: DataFrame, seeds: DataFrame, max_hops: int,
+              dedup_edges: bool = True) -> DataFrame:
     """Bounded-hop BFS: minimum hop count from any seed (SURVEY §J10 /
     §2.11, the DataFrame analog of the reference's Cypher variable-length
     path ``-[*1..k]->`` — gallery.md shortest-reach patterns).
@@ -237,8 +277,20 @@ def bfs_reach(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
     (same discipline as connected_components above). No driver-side row
     iteration — the only per-hop driver work is an isEmpty() on the already
     materialized frontier.
+
+    ``dedup_edges=False`` skips the defensive edge distinct+materialize:
+    min-hop BFS is insensitive to duplicate edges (the per-hop frontier
+    dedups anyway), so when the caller knows edge multiplicity is ~1 the
+    distinct is a full shuffle of the edge list for nothing (measured on
+    the sf0.1 co-supply graph: 1.18M of 1.2M rows survive it — 2%
+    dedup for the heaviest exchange in the query). Leave it on when the
+    edge list has real multiplicity: the per-hop join fanout multiplies
+    by it.
     """
-    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    if dedup_edges:
+        edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    else:
+        edges = edges.select("src", "dst")
     visited = (
         seeds.select("node").distinct()
         .withColumn("hop", F.lit(0).cast("long"))
@@ -256,13 +308,16 @@ def bfs_reach(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # visited is a flat union of already-checkpointed frontiers —
+        # re-checkpointing it per hop would rewrite the whole visited set
+        # (one extra job per hop) to truncate an already-shallow plan
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 
 
 def multi_source_bfs(edges: DataFrame, seeds: DataFrame,
-                     max_hops: int) -> DataFrame:
+                     max_hops: int, dedup_edges: bool = True) -> DataFrame:
     """Per-seed bounded-hop BFS: minimum hop count from EACH seed
     separately — the landmark-distance primitive. At 10^12-node scale
     exact all-pairs distances are impossible; the standard sketch
@@ -284,8 +339,15 @@ def multi_source_bfs(edges: DataFrame, seeds: DataFrame,
     L landmarks the state is at most L×|V|, which is the sketch's whole
     point (L is small). localCheckpoint per hop keeps lineage linear; the
     only driver work per hop is an isEmpty() on a materialized frontier.
+
+    ``dedup_edges=False``: same contract as ``bfs_reach`` — min-hop is
+    duplicate-insensitive (the per-hop (seed, node) distinct dedups), so
+    callers whose edge multiplicity is ~1 skip a full edge-list shuffle.
     """
-    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    if dedup_edges:
+        edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    else:
+        edges = edges.select("src", "dst")
     visited = (
         seeds.select("seed").distinct()
         .select("seed", F.col("seed").alias("node"))
@@ -304,6 +366,8 @@ def multi_source_bfs(edges: DataFrame, seeds: DataFrame,
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # same as bfs_reach: the union of checkpointed frontiers is a
+        # shallow plan; skipping the per-hop re-checkpoint saves a job
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited

@@ -101,7 +101,12 @@ def pagerank_integer(
     Rank magnitudes stay <= n * scale (fits BIGINT to ~9e12 nodes at the
     default scale); localCheckpoint per round keeps lineage linear.
     """
-    e = edges.select("src", "dst").distinct()
+    # materialize the deduped edge list ONCE: nodes, outdeg and ew all
+    # derive from it, and without the checkpoint each of their
+    # materializations re-runs the caller's edge-building join (for
+    # pagerank_cust_supp that is lineitem ⋈ orders + distinct, recomputed
+    # up to 3x — the dominant cost of the query build phase)
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -139,6 +144,7 @@ def weighted_sssp(
     edges: DataFrame,
     seeds: DataFrame,
     max_hops: int,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Bounded-hop single-source shortest paths (Bellman-Ford rounds) over
     directed (src, dst, w) edges with non-negative BIGINT weights — the
@@ -161,12 +167,19 @@ def weighted_sssp(
     runs on 1000 executors (delta-stepping reduces to this with one
     bucket at batch granularity). localCheckpoint per round keeps
     lineage linear; no driver-side row iteration at all.
+
+    ``edges_unique=True`` skips the defensive per-(src, dst) MIN
+    normalization when the caller already guarantees one row per directed
+    edge (e.g. the edge list is itself a groupBy output): the normalize
+    pass is a full shuffle of the edge list that deduplicates nothing
+    (measured on the sf0.1 co-supply graph: 1.18M rows in, 1.18M out).
+    Relaxation is min-based, so duplicate-free input makes it a pure
+    no-op — the result is identical either way.
     """
-    e = (
-        edges.select("src", "dst", F.col("w").cast("long").alias("w"))
-        .groupBy("src", "dst").agg(F.min("w").alias("w"))
-        .localCheckpoint(eager=True)
-    )
+    e = edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+    if not edges_unique:
+        e = e.groupBy("src", "dst").agg(F.min("w").alias("w"))
+    e = e.localCheckpoint(eager=True)
     dist = (
         seeds.select("node").distinct()
         .withColumn("dist", F.lit(0).cast("long"))
@@ -208,16 +221,23 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
     lineage linear. Rounds needed = peeling depth (degeneracy ordering
     layers), typically small; raise ``rounds`` for adversarial chains —
     the early exit makes the budget free on real graphs."""
-    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    from ..ckpt import checkpoint_reset_stats
+
+    e = checkpoint_reset_stats(edges.select("src", "dst"))
     n_edges = e.count()
     for _ in range(rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         surv = deg.filter(F.col("deg") >= k).select(F.col("src").alias("node"))
-        e = (
+        # checkpoint_reset_stats, not plain localCheckpoint: this loop
+        # joins the edge list against a survivor set DERIVED FROM IT, so
+        # the size-only estimator's multiply-through-joins compounds the
+        # stats ~cubically per round through the checkpoint's origin
+        # stats (same planner hazard as connected_components — see
+        # iyp_spark/ckpt.py)
+        e = checkpoint_reset_stats(
             e.join(surv.withColumnRenamed("node", "src"), "src")
             .join(surv.withColumnRenamed("node", "dst"), "dst")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
         )
         n_now = e.count()
         if n_now == n_edges:

@@ -23,7 +23,6 @@ bucketed interval join in iyp_spark/lpm.py —
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..framework import FIXED_FETCH_TIME
@@ -83,21 +82,26 @@ class Ip2Prefix:
             self.store.read_nodes("IP").select(F.col("key").alias("ip")), "ip"
         )
         cand = lpm_candidates(ips, pfx)
-        w = W.partitionBy("ip", "label").orderBy(F.desc("prefixlen"), F.asc("prefix"))
-        ip_links = (
-            cand.withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
-            .select(
-                F.xxhash64(F.lit("IP"), F.col("ip")).alias("subj_id"),
-                F.lit("PART_OF").alias("pred"),
-                F.col("node_id").alias("obj_id"),
-                F.lit("IP").alias("subj_label"),
-                F.col("ip").alias("subj_key"),
-                F.col("label").alias("obj_label"),
-                F.col("prefix").alias("obj_key"),
-                F.lit(None).cast("map<string,string>").alias("props"),
-                ref.alias("reference"),
-            )
+        # most-specific selection as a min_by AGGREGATE, not a row_number
+        # window: the key struct (-prefixlen, prefix) orders exactly like
+        # the old (prefixlen DESC, prefix ASC) window and min_by is
+        # map-side partial — one combinable exchange instead of a full
+        # repartition + per-group sort over every candidate row
+        best = F.min_by(
+            F.struct("node_id", "prefix"),
+            F.struct((-F.col("prefixlen")).alias("nl"), "prefix"),
+        ).alias("best")
+        ip_best = cand.groupBy("ip", "label").agg(best)
+        ip_links = ip_best.select(
+            F.xxhash64(F.lit("IP"), F.col("ip")).alias("subj_id"),
+            F.lit("PART_OF").alias("pred"),
+            F.col("best.node_id").alias("obj_id"),
+            F.lit("IP").alias("subj_label"),
+            F.col("ip").alias("subj_key"),
+            F.col("label").alias("obj_label"),
+            F.col("best.prefix").alias("obj_key"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+            ref.alias("reference"),
         )
 
         # ---- prefix → least-enclosing covering prefix per label (J5) ----
@@ -138,23 +142,23 @@ class Ip2Prefix:
                            (F.col("c_af") == coarse_parent.af) & covers)
             )
         )
-        w2 = W.partitionBy("c_label", "c_prefix", "label").orderBy(
-            F.desc("prefixlen"), F.asc("prefix")
-        )
-        pfx_links = (
-            cand2.withColumn("rn", F.row_number().over(w2))
-            .filter("rn = 1")
-            .select(
-                F.col("c_id").alias("subj_id"),
-                F.lit("PART_OF").alias("pred"),
-                F.col("node_id").alias("obj_id"),
-                F.col("c_label").alias("subj_label"),
-                F.col("c_prefix").alias("subj_key"),
-                F.col("label").alias("obj_label"),
-                F.col("prefix").alias("obj_key"),
-                F.lit(None).cast("map<string,string>").alias("props"),
-                ref.alias("reference"),
-            )
+        # least-enclosing selection: same min_by-aggregate replacement of
+        # the row_number window as the IP side above
+        best2 = F.min_by(
+            F.struct("node_id", "prefix"),
+            F.struct((-F.col("prefixlen")).alias("nl"), "prefix"),
+        ).alias("best")
+        pfx_best = cand2.groupBy("c_label", "c_prefix", "c_id", "label").agg(best2)
+        pfx_links = pfx_best.select(
+            F.col("c_id").alias("subj_id"),
+            F.lit("PART_OF").alias("pred"),
+            F.col("best.node_id").alias("obj_id"),
+            F.col("c_label").alias("subj_label"),
+            F.col("c_prefix").alias("subj_key"),
+            F.col("label").alias("obj_label"),
+            F.col("best.prefix").alias("obj_key"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+            ref.alias("reference"),
         )
 
         n = self.store.replace_triples(self.NAME, ip_links.unionByName(pfx_links))

@@ -222,12 +222,20 @@ class GraphStore:
             # post-processors derive triples FROM the triples table; truncate
             # lineage before overwriting the partition being read
             out = out.localCheckpoint(eager=True)
-        n = out.count() if (count_rows or not fresh) else -1
+            n = out.count()
         (
             out.repartition(F.col("pred"), F.pmod(F.col("subj_id"), F.lit(16)))
             .write.mode("overwrite")
             .parquet(part_dir)
         )
+        if fresh:
+            # fresh partition: the write is the (single) execution of the
+            # plan; counting beforehand would run the whole pipeline twice
+            # (ip2prefix's LPM joins were computed 2x for one number).
+            # Post-write the count comes from parquet footers — metadata
+            # only, no recompute.
+            n = (self.spark.read.parquet(part_dir).count()
+                 if count_rows else -1)
         return n
 
     def append_triples_batch(self, reference_name: str, df: DataFrame,
