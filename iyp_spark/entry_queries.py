@@ -26,8 +26,56 @@ TABLES = [
 ]
 
 
-def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+# (session id, sf_dir, name) -> is the scan under-parallel; the
+# partition-count probe costs a py4j round-trip, so once per table/session
+_TBL_FANOUT: dict[tuple, bool] = {}
+
+# scan fan-out floor: tables smaller than this stay as-is (dimension
+# tables get broadcast anyway; an exchange of 5 rows is pure overhead)
+_FANOUT_MIN_BYTES = 512 * 1024
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str,
+        fanout: bool = False) -> DataFrame:
+    """Read one input table. ``fanout=True`` opts a query into the input
+    under-parallelism fix (guide §2.5 "input skew ... otherwise
+    repartition immediately after the read"): the test tables are
+    single-row-group parquet files, so the scan is ONE task no matter the
+    split config, and the query's map phase (tokenize, explode, md5)
+    runs serially until its first exchange. Fan-out hash-repartitions on
+    the table's leading (id) column (hash, not round-robin — no
+    sort-before-repartition pass). It pays off exactly where heavy
+    per-row map work precedes the first exchange (measured: minhash
+    shingling -1.5s, simhash -0.4s, repetition -0.4s at sf0.1) and is a
+    small loss for thin queries that immediately re-shuffle (window/agg
+    on other keys: +0.2-0.4s) — so it is per-query opt-in, measured, not
+    a global heuristic. Scale-guard: only applies when the scan's actual
+    parallelism is far below the session's cores AND the table passes a
+    size floor, so at production scale (many splits) it is a no-op.
+    Results are partitioning-invariant for every declared query."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if not fanout:
+        return df
+    key = (id(spark), sf_dir, name)
+    under = _TBL_FANOUT.get(key)
+    if under is None:
+        cores = spark.sparkContext.defaultParallelism
+        try:
+            import os as _os
+
+            nbytes = sum(
+                _os.path.getsize(f.replace("file:", ""))
+                for f in df.inputFiles()
+            )
+            parts = df.rdd.getNumPartitions()
+            under = nbytes >= _FANOUT_MIN_BYTES and parts * 2 < cores
+        except Exception:
+            under = False
+        _TBL_FANOUT[key] = under
+    if under:
+        df = df.repartition(spark.sparkContext.defaultParallelism,
+                            F.col(df.columns[0]))
+    return df
 
 
 def _money(col: F.Column) -> F.Column:
@@ -61,7 +109,9 @@ FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """)
 def pricing_summary(spark, sf_dir):
-    li = tbl(spark, sf_dir, "lineitem")
+    # fanout: map-side partial agg over the whole table benefits from a
+    # parallel scan (measured -0.29s at sf0.1)
+    li = tbl(spark, sf_dir, "lineitem", fanout=True)
     one = F.lit(1.0).cast("decimal(18,4)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum(_money(F.col("l_quantity"))), 2).cast("double").alias("sum_qty"),
@@ -301,7 +351,8 @@ ORDER BY n DESC, token
 LIMIT 20
 """)
 def top20_tokens(spark, sf_dir):
-    d = tbl(spark, sf_dir, "documents")
+    # fanout: tokenize+explode is the whole query (measured win, tbl doc)
+    d = tbl(spark, sf_dir, "documents", fanout=True)
     return (
         d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
         .filter("token <> ''")
@@ -609,8 +660,9 @@ FROM sig a JOIN sig b
   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 """)
 def dedup_minhash_lsh_candidates(spark, sf_dir):
+    # fanout: shingle explode + 2 md5/shingle dominate (measured -1.5s)
     from .ops.dedup import lsh_candidate_pairs, with_mutants
-    return lsh_candidate_pairs(with_mutants(tbl(spark, sf_dir, "documents")))
+    return lsh_candidate_pairs(with_mutants(tbl(spark, sf_dir, "documents", fanout=True)))
 
 
 @q("dedup_jaccard_verified", f"""
@@ -648,8 +700,9 @@ SELECT doc_id,
 FROM s GROUP BY doc_id
 """)
 def dedup_simhash(spark, sf_dir):
+    # fanout: token explode + md5 dominate (measured -0.37s)
     from .ops.dedup import simhash
-    return simhash(tbl(spark, sf_dir, "documents"))
+    return simhash(tbl(spark, sf_dir, "documents", fanout=True))
 
 
 @q("dedup_embedding_neardup", """
@@ -1319,7 +1372,8 @@ FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id
 def doc_repetition_stats(spark, sf_dir):
     # Gopher-style repetition: duplicated-token fraction + top-bigram share.
     from .ops.text import repetition_stats
-    return repetition_stats(tbl(spark, sf_dir, "documents"))
+    # fanout: map-side bigram assembly dominates (measured -0.4s)
+    return repetition_stats(tbl(spark, sf_dir, "documents", fanout=True))
 
 
 @q("doc_decontamination", f"""
@@ -1736,7 +1790,9 @@ def landmark_hops(spark, sf_dir):
     # anti-joins on 8-byte longs shuffle a fraction of the bytes and
     # compare without string walks — measured ~2x on the sf0.1 graph.
     from .graph.canonicalize import multi_source_bfs
-    li = tbl(spark, sf_dir, "lineitem")
+    # fanout: with dedup_edges=False the raw 1.2M-row edge projection
+    # feeds the per-hop joins straight from the scan (measured -0.19s)
+    li = tbl(spark, sf_dir, "lineitem", fanout=True)
     p2s = li.select(
         (F.col("l_partkey").cast("long") * 2).alias("src"),
         (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
@@ -1866,7 +1922,8 @@ def doc_dup_ngram_fraction(spark, sf_dir):
     # boilerplate/template signal corpus filters threshold on (catches
     # copied spans that never cross a per-pair MinHash Jaccard bar).
     from .ops.dedup import dup_ngram_fraction
-    return dup_ngram_fraction(tbl(spark, sf_dir, "documents"), n=3)
+    # fanout: in-row n-gram assembly + explode dominates (measured -0.23s)
+    return dup_ngram_fraction(tbl(spark, sf_dir, "documents", fanout=True), n=3)
 
 
 @q("ann_lsh_topk", """

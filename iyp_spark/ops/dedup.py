@@ -307,11 +307,19 @@ def canonical_docs(docs: DataFrame) -> DataFrame:
             F.coalesce("component_id", "doc_id").alias("canonical_id"),
         )
     )
-    sizes = mapped.groupBy("canonical_id").agg(
+    # cluster sizes from the (small) component labeling alone, not from a
+    # second evaluation of `mapped`: every CC node is a corpus doc (the
+    # evidence edges are built from corpus ids), so the member count per
+    # canonical id is the component's node count, and docs absent from
+    # the labeling are singletons (size 1 via the coalesce). The old
+    # `mapped.groupBy(...)` + self-join computed the corpus-wide mapping
+    # twice.
+    sizes = comp.groupBy(F.col("component_id").alias("canonical_id")).agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    return mapped.join(sizes, "canonical_id").select(
-        "doc_id", "canonical_id", "cluster_size"
+    return mapped.join(sizes, "canonical_id", "left").select(
+        "doc_id", "canonical_id",
+        F.coalesce("cluster_size", F.lit(1).cast("long")).alias("cluster_size"),
     )
 
 

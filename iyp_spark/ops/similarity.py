@@ -51,7 +51,10 @@ def trunc6(col: F.Column) -> F.Column:
 
 
 def _vec(col) -> F.Column:
-    return F.transform(col, lambda x: x.cast("double"))
+    # plain Cast, not transform(x -> cast(x)): elementwise array casts are
+    # value-identical, but higher-order functions are CodegenFallback —
+    # one transform in a Project de-codegens the WHOLE projection
+    return col.cast("array<double>")
 
 
 def _dot(a, b) -> F.Column:
@@ -60,11 +63,42 @@ def _dot(a, b) -> F.Column:
     )
 
 
+def _dot64(a, b) -> F.Column:
+    """Arrow-vectorized twin of ``_dot`` for query paths that allow
+    Python (cosine_topk, lsh_topk — NOT the IVF query paths, which are
+    plan-fenced to zero Python at query time). Bit-exact vs the JVM fold
+    and the DuckDB oracle: the accumulation is SEQUENTIAL over dims —
+    ``acc = acc + A[:, d] * B[:, d]`` one dim at a time, vectorized
+    across the Arrow batch rows — the same left-to-right IEEE order as
+    ``F.aggregate`` (the ``_argmax_cell`` exactness contract). The JVM
+    fold is a CodegenFallback interpreted loop with per-element boxing:
+    ~0.8s per 2000×64-dim column at sf0.1; the numpy version is
+    microseconds per batch."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def dot64(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(va.to_numpy())
+        B = np.stack(vb.to_numpy())
+        acc = np.zeros(A.shape[0])
+        for d in range(A.shape[1]):   # sequential over dims == fold
+            acc = acc + A[:, d] * B[:, d]
+        return pd.Series(acc)
+
+    return dot64(a, b)
+
+
 def with_norm(emb: DataFrame) -> DataFrame:
     v = _vec(F.col("embedding"))
-    return emb.select(
-        "vec_id", v.alias("vec"), F.sqrt(_dot(v, v)).alias("nrm")
-    )
+    # norm via the Arrow dot (bit-exact, see _dot64); used at build time
+    # (IVF training — Arrow already required there) and by the
+    # brute-force/LSH query paths (Python allowed); the IVF query paths
+    # read the precomputed nrm from the index artifact and stay
+    # Python-free
+    vv = emb.select("vec_id", v.alias("vec"))
+    return vv.select("vec_id", "vec", F.sqrt(_dot64("vec", "vec")).alias("nrm"))
 
 
 def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
@@ -77,7 +111,7 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
         q.join(n.withColumnRenamed("vec_id", "n_id"), F.col("n_id") != F.col("q_id"))
-        .withColumn("dot", _dot(F.col("qv"), F.col("vec")))
+        .withColumn("dot", _dot64(F.col("qv"), F.col("vec")))
         .withColumn("cos", cos)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
@@ -414,24 +448,57 @@ def ivf_topk(
 
 def _lsh_bands(emb: DataFrame, bands: int, bits: int) -> DataFrame:
     """(vec_id, vec, nrm, band, bucket) — one row per (vector, band) with
-    the band's ``bits``-bit sign-LSH bucket key. Reuses the deterministic
-    integer-quantized hyperplane projection from ops.dedup (LCG-derived ±1
+    the band's ``bits``-bit sign-LSH bucket key. Same deterministic
+    integer-quantized hyperplane projection as ops.dedup (LCG-derived ±1
     hyperplanes, per-term 1e-6 floor quantization so the fold is exact
-    integer addition — engine-independent bucket keys)."""
-    from .dedup import _emb_projection
+    integer addition — engine-independent bucket keys), evaluated as ONE
+    Arrow pandas UDF over the whole sign matrix instead of n_bits
+    CodegenFallback aggregate/transform expressions per row: floor of the
+    identical double product and exact int64 addition reproduce the JVM
+    expression bit-for-bit (verified against the fixed oracles), at a
+    tiny fraction of the interpreted-HOF cost."""
+    import numpy as np
 
     n_bits = bands * bits
-    sig = with_norm(emb).select(
-        "vec_id", "vec", "nrm",
-        *[(_emb_projection(b) >= 0).cast("int").alias(f"s{b}")
-          for b in range(n_bits)],
+
+    # ONE Arrow crossing computes BOTH the norm and all n_bits projection
+    # sums (norm-then-projection as two chained UDFs ships the vector
+    # column to Python twice — measured 2x the crossing cost)
+    @F.pandas_udf("struct<nrm:double, ps:array<long>>")
+    def norm_and_proj(vec: pd.Series) -> pd.DataFrame:
+        if len(vec) == 0:
+            return pd.DataFrame({"nrm": [], "ps": []})
+        V = np.stack(vec.to_numpy())                    # (B, d) float64
+        d = V.shape[1]
+        acc = np.zeros(V.shape[0])
+        for j in range(d):                               # sequential == fold
+            acc = acc + V[:, j] * V[:, j]
+        # sign for (dim i, bit b): middle bit of an LCG — the same
+        # formula as ops.dedup._emb_projection's SQL; all operands stay
+        # < 2^53, so the double division/floor is exact
+        i_idx = np.arange(d)[:, None]
+        b_idx = np.arange(n_bits)[None, :]
+        lcg = (1103515245 * (i_idx + 97 * b_idx) + 12345) // 65536
+        S = np.where(lcg % 2 == 0, 1.0, -1.0)           # (d, n_bits)
+        # term = CAST(FLOOR((x * sign) * 1e6) AS BIGINT), exact int64 sum
+        q = np.floor((V[:, :, None] * S[None, :, :]) * 1000000.0).astype(
+            np.int64
+        )
+        return pd.DataFrame({"nrm": np.sqrt(acc), "ps": list(q.sum(axis=1))})
+
+    sig = emb.select(
+        "vec_id", _vec(F.col("embedding")).alias("vec"),
+        norm_and_proj(_vec(F.col("embedding"))).alias("np"),
     )
     band_cols = [
-        sum(F.col(f"s{g * bits + j}") * F.lit(1 << j) for j in range(bits))
-        .cast("long").alias(f"band{g}")
+        sum(
+            (F.element_at("np.ps", g * bits + j + 1) >= 0).cast("int")
+            * F.lit(1 << j)
+            for j in range(bits)
+        ).cast("long").alias(f"band{g}")
         for g in range(bands)
     ]
-    sig = sig.select("vec_id", "vec", "nrm", *band_cols)
+    sig = sig.select("vec_id", "vec", F.col("np.nrm").alias("nrm"), *band_cols)
     return sig.select(
         "vec_id", "vec", "nrm",
         F.expr(
@@ -481,7 +548,7 @@ def lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     w_rank = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
         cand.withColumn(
-            "cos", _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+            "cos", _dot64(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
         )
         .withColumn("rn", F.row_number().over(w_rank))
         .filter(F.col("rn") <= k)

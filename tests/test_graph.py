@@ -445,3 +445,39 @@ def test_k_core_peels_to_python_reference(spark):
     pairs = [(s, d) for s, d in pairs if s != d]
     for k in (2, 4):
         assert run(pairs, k, 8) == py_kcore(pairs, k, 8)
+
+
+def test_bfs_dedup_edges_flag_equivalent(spark):
+    """min-hop BFS is duplicate-insensitive: dedup_edges=False (the
+    fast path for ~unique edge lists) must produce exactly the
+    dedup_edges=True result, including under real edge multiplicity."""
+    from iyp_spark.graph.canonicalize import bfs_reach, multi_source_bfs
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "c"), ("b", "c"), ("c", "d")],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    ref = sorted(map(tuple, bfs_reach(edges, seeds, 3).collect()))
+    fast = sorted(map(tuple, bfs_reach(edges, seeds, 3,
+                                       dedup_edges=False).collect()))
+    assert fast == ref
+    mseeds = spark.createDataFrame([("a",), ("c",)], ["seed"])
+    mref = sorted(map(tuple, multi_source_bfs(edges, mseeds, 2).collect()))
+    mfast = sorted(map(tuple, multi_source_bfs(
+        edges, mseeds, 2, dedup_edges=False).collect()))
+    assert mfast == mref
+
+
+def test_sssp_edges_unique_flag_equivalent(spark):
+    """edges_unique=True must be a pure no-op when the caller really does
+    provide one row per directed edge."""
+    from iyp_spark.graph.metrics import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 1), (1, 3, 10)], ["src", "dst", "w"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    ref = sorted(map(tuple, weighted_sssp(edges, seeds, 3).collect()))
+    fast = sorted(map(tuple, weighted_sssp(
+        edges, seeds, 3, edges_unique=True).collect()))
+    assert fast == ref

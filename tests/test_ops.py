@@ -925,3 +925,25 @@ def test_quality_filter_rule_stack(spark):
     assert set(kept) == {1, 6}
     assert kept[1]["lang_guess"] == "en"
     assert kept[1]["n_tokens"] >= 10 and kept[1]["quality"] >= 0.5
+
+
+def test_canonical_docs_threads_single_persisted_shingle_df(spark, monkeypatch):
+    """canonical_docs must compute the shingle table ONCE, persist it,
+    and thread the SAME DataFrame into the Jaccard verification (the r5
+    fix whose absence doubled the heaviest query; VERDICT r5 next #5).
+    The CC loop checkpoints its inputs during construction, so the fence
+    spies on the call contract rather than the final plan."""
+    import iyp_spark.ops.dedup as D
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    seen = {}
+    orig = D.jaccard_verified_pairs
+
+    def spy(docs=None, threshold=0.5, sh=None):
+        seen["sh_threaded"] = sh is not None
+        seen["sh_persisted"] = sh is not None and sh.storageLevel.useMemory
+        return orig(docs=docs, threshold=threshold, sh=sh)
+
+    monkeypatch.setattr(D, "jaccard_verified_pairs", spy)
+    assert D.canonical_docs(docs).count() > 0
+    assert seen == {"sh_threaded": True, "sh_persisted": True}

@@ -111,3 +111,48 @@ def test_quality_filter_plan_single_scan_single_exchange(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange") == 1, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pmi_global_topn_is_take_ordered(spark):
+    """pmi_collocations' global top-n must be an orderBy+limit
+    (TakeOrderedAndProject — parallel per-partition partial top-n), not a
+    single-partition row_number window over every bigram surviving
+    min_count (VERDICT r5: the one plan that would not ship to 1000
+    executors). The only Window left ranks the <= top_n rows AFTER the
+    limit."""
+    from iyp_spark.entry_queries import QUERIES
+
+    plan = plan_of(QUERIES["pmi_collocations"](spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Window [") == 1, plan
+    # the window must sit ABOVE the limit (parents print first)
+    assert plan.index("Window [") < plan.index("TakeOrderedAndProject"), plan
+
+
+def test_checkpoint_reset_stats_strips_compounded_estimates(spark):
+    """Iterative loops checkpoint per round; Spark's localCheckpoint
+    carries the origin plan's ESTIMATED stats onto the LogicalRDD, and
+    the size-only estimator multiplies estimates through joins — so a
+    loop joining two iteration-dependent tables compounds the estimate's
+    bit length geometrically until the planner burns minutes on
+    BigInteger products (observed on a 30-edge chain). The reset helper
+    must return the checkpoint with a LEAF-DEFAULT estimate, and the
+    data unchanged."""
+    from pyspark.sql import functions as F
+
+    from iyp_spark.ckpt import checkpoint_reset_stats
+
+    df = spark.range(1000).selectExpr("id as a")
+    big = df
+    for _ in range(4):
+        big = (big.join(big.selectExpr("a as b"), F.col("a") == F.col("b"))
+               .select("a"))
+    plain = big.localCheckpoint(eager=True)
+    inflated = int(str(plain._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes()))
+    ck = checkpoint_reset_stats(big)
+    reset = int(str(ck._jdf.queryExecution().optimizedPlan()
+                    .stats().sizeInBytes()))
+    assert inflated > (1 << 80), "premise: plain checkpoint compounds stats"
+    assert reset <= (1 << 70), f"stats not stripped: 2^{reset.bit_length()}"
+    assert ck.count() == 1000
