@@ -183,11 +183,31 @@ def jaccard_verified_pairs(docs: DataFrame | None = None,
     if sh is None:
         from pyspark import StorageLevel
 
-        sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    cand = lsh_candidate_pairs(sh=sh)
-    a = sh.alias("a")
-    b = sh.alias("b")
+        # repartition by doc_id BEFORE persisting: the corpus scan may be
+        # one task (single-row-group file), and a 1-partition cache
+        # serializes every downstream consumer's md5/join work; doc_id
+        # partitioning is also what the set-size aggregate and the
+        # intersection join key on
+        sh = (shingles(docs).repartition(F.col("doc_id"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    # materialize the candidate pairs once — they feed both the id
+    # pre-filter and the intersection join, and recomputing them would
+    # run the signature+band-join pipeline twice
+    cand = lsh_candidate_pairs(sh=sh).localCheckpoint(eager=False)
+    # §3.2 pre-filter: only candidate docs' shingles participate in the
+    # verification; semi-join the (big) shingle table down to them BEFORE
+    # the intersection exchange instead of shuffling every doc's shingles
+    # (the per-doc set sizes are only ever read for candidate pairs, so
+    # computing them on the filtered table is value-identical)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(cand_ids, "doc_id", "leftsemi")
+    sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh_cand.alias("a")
+    b = sh_cand.alias("b")
     inter = (
         cand.join(a, cand.id_a == F.col("a.doc_id"))
         .join(b, (cand.id_b == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")))
@@ -285,16 +305,23 @@ def canonical_docs(docs: DataFrame) -> DataFrame:
     corpus = with_mutants(docs)
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     fp = corpus.select("doc_id", F.md5(norm).alias("fp"))
-    roots = fp.groupBy("fp").agg(F.min("doc_id").alias("root"))
+    # min-root per fingerprint as a WINDOW over the one fp pass: the old
+    # groupBy + self-join evaluated the corpus md5 scan on both join
+    # sides (two full fingerprint passes + a join for one column)
+    wfp = Window.partitionBy("fp")
     exact_edges = (
-        fp.join(roots, "fp")
+        fp.withColumn("root", F.min("doc_id").over(wfp))
         .filter(F.col("doc_id") != F.col("root"))
         .select(F.col("doc_id").alias("src"), F.col("root").alias("dst"))
     )
     # ONE shingle materialization for the whole pipeline: persisted here,
     # threaded through signatures, candidate join, and Jaccard verification
     # (this stage was recomputed twice before — it dominated the query).
-    sh = shingles(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    # Repartitioned by doc_id first: the corpus scan is one task on
+    # single-row-group inputs and a 1-partition cache serializes every
+    # consumer's hashing/join work.
+    sh = (shingles(corpus).repartition(F.col("doc_id"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     near_edges = jaccard_verified_pairs(sh=sh).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )

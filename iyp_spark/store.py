@@ -178,13 +178,66 @@ class GraphStore:
         """K7: add/overwrite props on existing nodes.
 
         ``df``: (label, key, props map). Nodes not present are ignored
-        (reference MATCHes by elementId; misses are impossible there).
-        """
-        return self.upsert_nodes(
-            df.withColumn("node_id", F.xxhash64("label", "key"))
-            .withColumn("labels", F.array("label"))
-            .select("label", "key", "node_id", "labels", "props")
+        (reference MATCHes by elementId; misses are impossible there —
+        every post-processor derives its enrich rows FROM read_nodes).
+
+        r6: implemented as the join-update the Iceberg comment always
+        described (``WHEN MATCHED UPDATE SET props``) instead of routing
+        through the full upsert merge (union + two aggregations + a
+        props explode over existing∪incoming). One small aggregate over
+        the incoming batch, one left join onto the touched partitions,
+        one per-row map merge — ~half the exchanges for the ip2prefix
+        post-processor's props pass. Props merge semantics are identical
+        to upsert_nodes: incoming wins per prop key, survivors keep
+        their entries, the stored map is key-sorted."""
+        incoming = (
+            df.select("label", "key", "props")
+            .withColumn("_ord", F.monotonically_increasing_id())
+            .groupBy("label", "key")
+            .agg(F.max_by("props", "_ord").alias("new_props"))
         )
+        touched = [r["label"]
+                   for r in incoming.select("label").distinct().collect()]
+        if not touched or not _exists(self.nodes_path):
+            return 0
+        existing = self.read_nodes().filter(F.col("label").isin(touched))
+        empty_map = F.expr("map()").cast("map<string,string>")
+        old_p = F.coalesce(F.col("props"), empty_map)
+        new_p = F.coalesce(F.col("new_props"), empty_map)
+        merged = F.map_from_entries(
+            F.array_sort(
+                F.concat(
+                    F.filter(
+                        F.map_entries(old_p),
+                        lambda e: ~F.array_contains(
+                            F.map_keys(new_p), e["key"]
+                        ),
+                    ),
+                    F.map_entries(new_p),
+                )
+            )
+        )
+        out = (
+            existing.join(incoming, ["label", "key"], "left")
+            .select(
+                "label", "key", "node_id", "labels",
+                F.when(
+                    F.col("props").isNull() & F.col("new_props").isNull(),
+                    F.lit(None).cast("map<string,string>"),
+                ).otherwise(merged).alias("props"),
+            )
+            .select([f.name for f in NODES_SCHEMA.fields])
+            # about to overwrite the partitions this plan reads
+            .localCheckpoint(eager=True)
+        )
+        n = out.count()
+        (
+            out.repartition(F.col("label"), F.pmod(F.col("node_id"), F.lit(8)))
+            .write.mode("overwrite")
+            .partitionBy("label")
+            .parquet(self.nodes_path)
+        )
+        return n
 
     # ---------- triples ----------
     def read_triples(self, reference_name: str | None = None) -> DataFrame:
